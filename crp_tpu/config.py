@@ -1,0 +1,100 @@
+"""Runtime configuration.
+
+The reference configures its algorithm switches through environment variables
+read with ``GET_ENV_INT_VAR`` (reference ``src/utils.h:71-87``), e.g.
+``RP_SPMM_P2P`` / ``RP_SPMM_REIDX`` (``src/rowpara_spmm.c:42-43``) and
+``A2A_B_FINEGRAIN`` (``deprecated/src/crpspmm.c:294``).  We keep the same
+three switches (with the same env names and defaults) plus TPU-specific knobs,
+carried in a small dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional
+
+logger = logging.getLogger("crp_tpu")
+
+
+def get_env_int(
+    env_name: str,
+    default: int,
+    min_val: int,
+    max_val: int,
+    *,
+    var_name: Optional[str] = None,
+    log: bool = True,
+) -> int:
+    """Read an integer env var with default / clamp-to-range semantics.
+
+    Mirrors the behaviour of ``GET_ENV_INT_VAR`` (reference
+    ``src/utils.h:71-87``): missing -> default, out-of-range -> default,
+    and the override is logged once.
+    """
+    var_name = var_name or env_name.lower()
+    raw = os.environ.get(env_name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        logger.warning("Ignoring non-integer env %s=%r", env_name, raw)
+        return default
+    if val < min_val or val > max_val:
+        logger.warning(
+            "Env %s=%d out of range [%d, %d]; using default %d",
+            env_name, val, min_val, max_val, default,
+        )
+        return default
+    if log and val != default:
+        logger.info("Overriding parameter %s = %d (default %d)", var_name, val, default)
+    return val
+
+
+@dataclasses.dataclass
+class SpmmConfig:
+    """Algorithm switches for the SpMM engines.
+
+    Attributes
+    ----------
+    rb_p2p:
+        B-row halo exchange implementation.  The reference chooses between a
+        nonblocking p2p ring and ``MPI_Alltoallv`` via ``RP_SPMM_P2P``
+        (``src/rowpara_spmm.c:275-309``).  Here: 1 -> a ``ppermute``-based
+        ring schedule, 0 -> a single padded ``lax.all_to_all``.
+    rb_reidx:
+        Compact never-referenced B rows out of the local receive buffer
+        (``RP_SPMM_REIDX``, ``src/rowpara_spmm.c:81-86``).  On TPU this also
+        shrinks the gather index space of the local kernel.
+    a2a_b_finegrain:
+        v1 engine switch: exchange exactly the referenced B rows instead of
+        contiguous [min_col, max_col] panels (``A2A_B_FINEGRAIN``,
+        ``deprecated/src/crpspmm.c:294-396``).
+    dtype:
+        Value dtype for A/B/C.  The reference is fp64-only; on TPU the
+        defaults favour fp32 compute (fp64 runs natively on the CPU backend
+        used by the test mesh and is emulated on TPU).
+    kernel:
+        Local SpMM kernel: "auto" | "jnp" (gather + segment-sum, runs
+        everywhere) | "pallas" (MXU windowed-ELL kernel, TPU only).
+    """
+
+    rb_p2p: int = 1
+    rb_reidx: int = 1
+    a2a_b_finegrain: int = 0
+    dtype: str = "float32"
+    kernel: str = "auto"
+
+    @classmethod
+    def from_env(cls) -> "SpmmConfig":
+        return cls(
+            rb_p2p=get_env_int("RP_SPMM_P2P", 1, 0, 1, var_name="rB_p2p"),
+            rb_reidx=get_env_int("RP_SPMM_REIDX", 1, 0, 1, var_name="rB_reidx"),
+            a2a_b_finegrain=get_env_int(
+                "A2A_B_FINEGRAIN", 0, 0, 1, var_name="a2a_B_finegrain"
+            ),
+            dtype=os.environ.get("CRP_TPU_DTYPE", "float32"),
+            kernel=os.environ.get("CRP_TPU_KERNEL", "auto"),
+        )

@@ -1,0 +1,151 @@
+"""Host-side CSR container.
+
+The reference passes raw ``(rowptr, colidx, val)`` triples (int32 indices,
+fp64 values) between all layers.  We wrap them in a small dataclass carrying
+numpy arrays; device placement happens at engine-init time via plan-driven
+packing, not here.
+
+Invariant carried over from the reference: column indices within each row are
+sorted ascending (``examples/mmio_utils.c:182-185``); the v1 bandwidth
+planner relies on this (``deprecated/src/crpspmm.c:108``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class CSRMatrix:
+    nrow: int
+    ncol: int
+    rowptr: np.ndarray  # (nrow+1,) int
+    colidx: np.ndarray  # (nnz,) int
+    val: np.ndarray     # (nnz,) float
+
+    def __post_init__(self) -> None:
+        self.rowptr = np.ascontiguousarray(self.rowptr)
+        self.colidx = np.ascontiguousarray(self.colidx)
+        self.val = np.ascontiguousarray(self.val)
+        assert self.rowptr.shape == (self.nrow + 1,)
+        assert self.colidx.shape[0] == self.rowptr[-1]
+        assert self.val.shape == self.colidx.shape
+
+    @property
+    def nnz(self) -> int:
+        return int(self.rowptr[-1])
+
+    @classmethod
+    def from_coo(
+        cls,
+        nrow: int,
+        ncol: int,
+        row: np.ndarray,
+        col: np.ndarray,
+        val: np.ndarray,
+        dtype=np.float64,
+    ) -> "CSRMatrix":
+        """COO -> CSR with per-row column-sorted nonzeros.
+
+        Same observable result as the reference's bucket sort + per-row
+        quicksort (``examples/mmio_utils.c:148-190``); duplicates are kept
+        (the reference never deduplicates).
+        """
+        row = np.asarray(row, dtype=np.int64)
+        col = np.asarray(col, dtype=np.int64)
+        val = np.asarray(val, dtype=dtype)
+        order = np.lexsort((col, row))
+        row, col, val = row[order], col[order], val[order]
+        rowptr = np.zeros(nrow + 1, dtype=np.int64)
+        np.add.at(rowptr, row + 1, 1)
+        np.cumsum(rowptr, out=rowptr)
+        return cls(nrow, ncol, rowptr, col.astype(np.int32), val)
+
+    @classmethod
+    def from_scipy(cls, mat, dtype=np.float64) -> "CSRMatrix":
+        csr = mat.tocsr()
+        csr.sort_indices()
+        return cls(
+            csr.shape[0],
+            csr.shape[1],
+            csr.indptr.astype(np.int64),
+            csr.indices.astype(np.int32),
+            csr.data.astype(dtype),
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(
+            (self.val, self.colidx, self.rowptr), shape=(self.nrow, self.ncol)
+        )
+
+    def row_slice(self, srow: int, erow: int) -> "CSRMatrix":
+        """Rows [srow, erow) as a standalone CSR block (rowptr rebased to 0)."""
+        s, e = int(self.rowptr[srow]), int(self.rowptr[erow])
+        return CSRMatrix(
+            erow - srow,
+            self.ncol,
+            self.rowptr[srow : erow + 1] - self.rowptr[srow],
+            self.colidx[s:e].copy(),
+            self.val[s:e].copy(),
+        )
+
+    def localize(self) -> tuple["CSRMatrix", int, int]:
+        """Shrink the column window to [min colidx, max colidx].
+
+        Returns (shifted matrix, window start, window size).  Mirrors the A
+        localization in ``rp_spmm_init`` (``src/rowpara_spmm.c:46-77``).
+        """
+        if self.nnz == 0:
+            return CSRMatrix(self.nrow, 0, self.rowptr.copy(),
+                             self.colidx.copy(), self.val.copy()), 0, 0
+        srow = int(self.colidx.min())
+        erow = int(self.colidx.max())
+        w = erow - srow + 1
+        return (
+            CSRMatrix(self.nrow, w, self.rowptr.copy(),
+                      (self.colidx - srow).astype(self.colidx.dtype), self.val.copy()),
+            srow,
+            w,
+        )
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros((self.nrow, self.ncol), dtype=self.val.dtype)
+        row = np.repeat(np.arange(self.nrow), np.diff(self.rowptr))
+        np.add.at(out, (row, self.colidx), self.val)
+        return out
+
+    def spmm_ref(self, b: np.ndarray) -> np.ndarray:
+        """Host fp64 reference C := A @ B (the ``mkl_csr_spmm`` analog,
+        ``examples/test_utils.c:156-179``)."""
+        return self.to_scipy().astype(np.float64) @ np.asarray(b, dtype=np.float64)
+
+    def bandwidth(self) -> int:
+        """Max |col - row| over nonzeros (printed by ``read_mtx_csr``,
+        ``examples/test_utils.c:37-47``)."""
+        if self.nnz == 0:
+            return 0
+        row = np.repeat(np.arange(self.nrow), np.diff(self.rowptr))
+        return int(np.abs(self.colidx - row).max())
+
+    def row_col_ranges(self) -> np.ndarray:
+        """(nrow, 2) per-row [min colidx, max colidx] (undefined for empty rows).
+
+        The v1 planner's bandwidth cost uses these ranges
+        (``deprecated/src/crpspmm.c:107-131``).  Empty rows get an empty
+        range [ncol, -1] so min/max reductions over panels ignore them.
+        """
+        ranges = np.empty((self.nrow, 2), dtype=np.int64)
+        ranges[:, 0] = self.ncol
+        ranges[:, 1] = -1
+        counts = np.diff(self.rowptr)
+        nonempty = counts > 0
+        starts = self.rowptr[:-1][nonempty]
+        ends = self.rowptr[1:][nonempty] - 1
+        # colidx sorted per row -> first nnz is min, last is max
+        ranges[nonempty, 0] = self.colidx[starts]
+        ranges[nonempty, 1] = self.colidx[ends]
+        return ranges

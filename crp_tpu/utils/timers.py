@@ -1,0 +1,54 @@
+"""Phase timers.
+
+The reference wraps every pipeline stage in ``get_wtime_sec()`` pairs and
+accumulates per-phase times in engine structs (``src/rowpara_spmm.h:33-39``).
+On TPU, dispatch is async, so a phase timer must fence with
+``jax.block_until_ready`` to be meaningful; ``Timer.phase`` takes an optional
+value to fence on.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+
+def get_wtime_sec() -> float:
+    return time.perf_counter()
+
+
+class Timer:
+    """Accumulating named phase timer (seconds)."""
+
+    def __init__(self) -> None:
+        self.t = defaultdict(float)
+        self.n_exec = 0
+
+    @contextmanager
+    def phase(self, name: str, fence=None):
+        st = time.perf_counter()
+        try:
+            yield
+        finally:
+            if fence is not None:
+                try:
+                    import jax
+
+                    jax.block_until_ready(fence)
+                except Exception:
+                    pass
+            self.t[name] += time.perf_counter() - st
+
+    def add(self, name: str, seconds: float) -> None:
+        self.t[name] += seconds
+
+    def clear(self) -> None:
+        """Reset accumulated stats (reference ``rp_spmm_clear_stat``)."""
+        self.t.clear()
+        self.n_exec = 0
+
+    def avg(self, name: str) -> float:
+        if self.n_exec == 0:
+            return 0.0
+        return self.t[name] / self.n_exec

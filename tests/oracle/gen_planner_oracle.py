@@ -1,0 +1,85 @@
+"""Regenerate tests/fixtures/planner_oracle.json.
+
+Builds the reference planner (/root/reference/src/spmat_part.c + utils.c,
+linked, not copied) with the local oracle_driver.c, feeds it the same
+deterministic synthetic matrices the test suite generates, and records the
+reference's grid + boundary decisions.  Run from the repo root:
+
+    python tests/oracle/gen_planner_oracle.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np  # noqa: E402
+
+from crp_tpu.sparse.synth import banded_random_csr, powerlaw_random_csr  # noqa: E402
+from crp_tpu.sparse.csr import CSRMatrix  # noqa: E402
+
+REF = "/root/reference/src"
+HERE = os.path.dirname(os.path.abspath(__file__))
+FIXTURE = os.path.join(HERE, "..", "fixtures", "planner_oracle.json")
+
+
+def oracle_cases():
+    """(name, matrix, n, nproc, rA) cases; mirrored in test_planner_oracle.py."""
+    cases = []
+    banded = banded_random_csr(3000, nnz_per_row=9, bandwidth=120, seed=21)
+    plaw = powerlaw_random_csr(2500, avg_degree=14, seed=22)
+    # rectangular: clip columns
+    keep = banded.colidx < 2000
+    rows = np.repeat(np.arange(banded.nrow), np.diff(banded.rowptr))[keep]
+    rect = CSRMatrix.from_coo(3000, 2000, rows, banded.colidx[keep],
+                              banded.val[keep])
+    # empty rows
+    er_rows = np.array([0, 0, 5, 5, 5, 9, 40, 41, 41, 99])
+    er_cols = np.array([0, 3, 1, 2, 7, 9, 12, 40, 41, 99])
+    empty = CSRMatrix.from_coo(100, 100, er_rows, er_cols,
+                               np.ones(er_rows.shape[0]))
+    for n in (1, 16, 256, 2048):
+        for nproc in (2, 4, 6, 8, 12):
+            cases.append((f"banded_n{n}_p{nproc}", banded, n, nproc, 1))
+            cases.append((f"plaw_n{n}_p{nproc}", plaw, n, nproc, 1))
+    cases.append(("rect_n256_p8", rect, 256, 8, 1))
+    cases.append(("rect_n64_p6", rect, 64, 6, 1))
+    cases.append(("empty_n32_p4", empty, 32, 4, 1))
+    cases.append(("banded_rA4_n256_p8", banded, 256, 8, 4))
+    return cases
+
+
+def main():
+    exe = os.path.join(tempfile.gettempdir(), "crp_oracle_driver")
+    subprocess.run(
+        [
+            "gcc", "-O2", "-fopenmp", "-I", REF,
+            os.path.join(HERE, "oracle_driver.c"),
+            os.path.join(REF, "spmat_part.c"),
+            os.path.join(REF, "utils.c"),
+            "-o", exe, "-lm",
+        ],
+        check=True,
+    )
+    out = {}
+    for name, a, n, nproc, rA in oracle_cases():
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+            f.write(f"{a.nrow} {a.ncol} {n} {nproc} {rA}\n")
+            f.write(" ".join(map(str, a.rowptr.tolist())) + "\n")
+            f.write(" ".join(map(str, a.colidx.tolist())) + "\n")
+            path = f.name
+        res = subprocess.run([exe, path], capture_output=True, text=True, check=True)
+        os.unlink(path)
+        out[name] = json.loads(res.stdout)
+        print(name, "->", out[name]["pm"], "x", out[name]["pn"])
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    with open(FIXTURE, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {len(out)} cases to {FIXTURE}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Tests for the sparse containers and I/O (sparse layer)."""
+
+import numpy as np
+import pytest
+
+from crp_tpu.sparse.csr import CSRMatrix
+from crp_tpu.sparse.mmio import mm_read_sparse, write_mtx
+from crp_tpu.sparse.synth import banded_random_csr, fill_b
+
+
+def test_from_coo_sorted_and_complete():
+    rows = np.array([2, 0, 1, 0, 2, 1])
+    cols = np.array([1, 2, 0, 0, 0, 2])
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    a = CSRMatrix.from_coo(3, 3, rows, cols, vals)
+    np.testing.assert_array_equal(a.rowptr, [0, 2, 4, 6])
+    # columns sorted within each row (invariant for the v1 planner)
+    for i in range(3):
+        seg = a.colidx[a.rowptr[i]:a.rowptr[i + 1]]
+        assert np.all(np.diff(seg) >= 0)
+    dense = a.to_dense()
+    expect = np.zeros((3, 3))
+    expect[rows, cols] = vals
+    np.testing.assert_array_equal(dense, expect)
+
+
+def test_row_slice_and_localize():
+    a = banded_random_csr(100, nnz_per_row=5, bandwidth=8, seed=1)
+    blk = a.row_slice(40, 60)
+    assert blk.nrow == 20
+    np.testing.assert_array_equal(blk.to_dense(), a.to_dense()[40:60])
+    loc, srow, w = blk.localize()
+    assert srow == int(blk.colidx.min())
+    np.testing.assert_array_equal(loc.to_dense(), blk.to_dense()[:, srow:srow + w])
+
+
+def test_spmm_ref_matches_dense():
+    a = banded_random_csr(64, nnz_per_row=4, bandwidth=6, seed=2)
+    b = fill_b(0, 64, 0, 8)
+    np.testing.assert_allclose(a.spmm_ref(b), a.to_dense() @ b, rtol=1e-13)
+
+
+def test_row_col_ranges():
+    a = banded_random_csr(50, nnz_per_row=3, bandwidth=5, seed=3)
+    r = a.row_col_ranges()
+    d = a.to_dense()
+    for i in range(50):
+        nz = np.nonzero(d[i])[0]
+        if len(nz):
+            assert r[i, 0] == nz.min() and r[i, 1] == nz.max()
+
+
+def test_mmio_roundtrip(tmp_path):
+    a = banded_random_csr(40, nnz_per_row=3, bandwidth=4, seed=5)
+    f = str(tmp_path / "t.mtx")
+    write_mtx(f, a)
+    b = mm_read_sparse(f)
+    np.testing.assert_allclose(b.to_dense(), a.to_dense(), rtol=1e-15)
+
+
+def test_mmio_symmetric_expansion(tmp_path):
+    """Symmetric storage must be mirror-expanded like the reference reader
+    (examples/mmio_utils.c:102-117)."""
+    f = str(tmp_path / "s.mtx")
+    with open(f, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        fh.write("3 3 4\n1 1 2.0\n2 1 3.0\n3 2 4.0\n3 3 5.0\n")
+    a = mm_read_sparse(f, need_symm=True)
+    expect = np.array([[2.0, 3.0, 0.0], [3.0, 0.0, 4.0], [0.0, 4.0, 5.0]])
+    np.testing.assert_array_equal(a.to_dense(), expect)
+    assert a.nnz == 6  # off-diagonals mirrored, diagonal not duplicated
+
+
+def test_mmio_need_symm_rejects_general(tmp_path):
+    f = str(tmp_path / "g.mtx")
+    with open(f, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate real general\n")
+        fh.write("2 2 1\n1 2 1.0\n")
+    with pytest.raises(ValueError):
+        mm_read_sparse(f, need_symm=True)
+
+
+def test_fill_b_formula():
+    """B(i,j) = 0.19 i + 0.24 j, global indices (examples/test_utils.c:121-154)."""
+    blk = fill_b(10, 3, 20, 2)
+    assert blk[0, 0] == pytest.approx(0.19 * 10 + 0.24 * 20)
+    assert blk[2, 1] == pytest.approx(0.19 * 12 + 0.24 * 21)
+    # sub-blocks agree with the global fill without communication
+    full = fill_b(0, 50, 0, 30)
+    np.testing.assert_array_equal(full[10:13, 20:22], blk)
+
+
+def test_bandwidth():
+    a = banded_random_csr(200, nnz_per_row=5, bandwidth=7, seed=6)
+    assert a.bandwidth() <= 7
