@@ -1,0 +1,86 @@
+"""Benchmark harness — run on the real TPU chip; prints ONE JSON line.
+
+Headline config mirrors the reference README example (``README.md:58-92``):
+pwtk-class matrix (217,918^2, ~11.6M nnz, banded) x dense B with n = 256.
+The reference's published number is 1.060 s per SpMM exec on a 4-rank Xeon
+E5-2670 node (BASELINE.md).  No network egress here, so the matrix is a
+deterministic synthetic with pwtk's structural statistics
+(``crp_tpu.sparse.synth.banded_random_csr``).
+
+Metric: seconds per exec (B-row exchange degenerate at p=1 + local SpMM on
+device-resident B).  ``vs_baseline`` = reference_seconds / ours (>1 = faster
+than the reference's published number).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SECONDS = 1.060  # README.md:81, SpMM total avg, pwtk n=256
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    from crp_tpu.config import SpmmConfig
+    from crp_tpu.engine.rowpara import RowParaSpmm
+    from crp_tpu.plan.partition1d import csr_row_partition
+    from crp_tpu.sparse.synth import banded_random_csr, fill_b
+    from crp_tpu.shard.layout import make_mesh_1d
+
+    nrow = int(os.environ.get("CRP_BENCH_NROW", 217918))
+    n = int(os.environ.get("CRP_BENCH_N", 256))
+    ntest = int(os.environ.get("CRP_BENCH_NTEST", 5))
+    kernel = os.environ.get("CRP_BENCH_KERNEL", "ell")
+
+    a = banded_random_csr(nrow, nnz_per_row=53, bandwidth=2500, seed=1234,
+                          dtype=np.float32)
+    displs = csr_row_partition(a.rowptr, 1)
+    mesh = make_mesh_1d(1)
+    eng = RowParaSpmm(
+        a, displs, displs, n, mesh=mesh,
+        config=SpmmConfig(kernel=kernel), dtype=np.float32,
+    )
+    b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
+    bs = eng.shard_b(b)
+
+    # NB: block_until_ready is unreliable under this PJRT relay (returns
+    # optimistically); a jitted scalar reduction fetched to host is the only
+    # trustworthy fence.  Measure K pipelined execs per fence and take the
+    # best per-iter average over ntest repetitions.
+    import jax.numpy as jnp
+
+    reduce = jax.jit(jnp.sum)
+    c = eng.exec_device(bs)
+    float(reduce(c))  # warm-up (compile both programs)
+
+    K = int(os.environ.get("CRP_BENCH_INNER", 20))
+    times = []
+    for _ in range(ntest):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            c = eng.exec_device(bs)
+        float(reduce(c))
+        times.append((time.perf_counter() - t0) / K)
+    t = float(np.min(times))
+
+    gflops = 2.0 * a.nnz * n / t / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": f"pwtk-class {nrow}x{nrow} nnz={a.nnz} n={n} "
+                          f"single-chip SpMM exec ({kernel}, {gflops:.0f} GFLOP/s)",
+                "value": round(t, 5),
+                "unit": "s",
+                "vs_baseline": round(REFERENCE_SECONDS / t, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""2D (pm x pn) SpMM engine.
+
+TPU-native counterpart of ``para2d_spmm`` (``src/para2d_spmm.{h,c}``): the
+planner's ``pm x pn`` grid maps onto a 2D device mesh; A row panels are
+replicated along the ``pn`` axis, B/C are row-partitioned over ``pm`` (by the
+plan's nnz-aware boundaries) and column-partitioned over ``pn``; each of the
+``pn`` column groups runs the 1D sparsity-aware B-row exchange along ``pm``
+and the local SpMM kernel.
+
+Replication of A happens at engine init.  The reference does it with two
+overlapped ``MPI_Iallgatherv`` calls (``src/para2d_spmm.c:47-100``); here the
+planner holds the global matrix, so init places each row panel's CSR arrays
+with a sharding that is *replicated over pn* — XLA materializes the broadcast
+along the pn axis at placement time.  The replication cost is still reported
+in the audit exactly as the reference does (``src/para2d_spmm.c:102-109``).
+
+Exec is one jitted shard_map over ('pm', 'pn'):
+exchange-B along pm -> local SpMM, identically in every column group.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import SpmmConfig
+from ..comm.exchange import build_b_exchange, exchange_b
+from ..kernels.dispatch import pack_local_kernel
+from ..plan.planner2d import Plan2D, NNZ_COST_FACTOR
+from ..shard.layout import make_mesh_2d
+from ..utils.timers import Timer
+from .stats import format_stat_table
+
+
+class Para2dSpmm:
+    """init(A, plan)/exec(B)->C on a pm x pn mesh."""
+
+    def __init__(
+        self,
+        a,                    # global CSRMatrix
+        plan: Plan2D,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        config: Optional[SpmmConfig] = None,
+        dtype=np.float64,
+    ) -> None:
+        self.config = config or SpmmConfig()
+        self.plan = plan
+        self.pm, self.pn = plan.pm, plan.pn
+        self.glb_n = plan.n
+        self.mesh = mesh if mesh is not None else make_mesh_2d(self.pm, self.pn)
+        self.dtype = np.dtype(dtype)
+        self.timer = Timer()
+        t0 = Timer()
+        with t0.phase("init"):
+            self._build(a)
+        self.t_init = t0.t["init"]
+
+    # ------------------------------------------------------------------ init
+    def _build(self, a) -> None:
+        plan = self.plan
+        pm, pn = self.pm, self.pn
+
+        # Replicated-A row panels (one per pm row, shared by the pn group)
+        panels = [
+            a.row_slice(int(plan.AC_rowptr[i]), int(plan.AC_rowptr[i + 1]))
+            for i in range(pm)
+        ]
+        self.max_m = max(max(p_.nrow for p_ in panels), 1)
+
+        reidx = bool(self.config.rb_reidx)
+        self.xplan = build_b_exchange(
+            [p_.colidx for p_ in panels], plan.B_rowptr, reidx=reidx
+        )
+
+        shards_compact = []
+        for i, s in enumerate(panels):
+            if reidx:
+                cc = np.searchsorted(self.xplan.rowmap[i], s.colidx).astype(np.int32)
+            else:
+                cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
+            shards_compact.append((s.rowptr, cc, s.val))
+        kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
+        arrays, self._local_fn = pack_local_kernel(
+            shards_compact, self.max_m, self.dtype, kind
+        )
+
+        # P('pm', None, ...): replicated along pn — the all-gather-A equivalent
+        def put_pm(a):
+            return jax.device_put(
+                a, NamedSharding(self.mesh, P("pm", *([None] * (a.ndim - 1))))
+            )
+
+        self.d_kernel = tuple(put_pm(a) for a in arrays)
+        self._kernel_specs = tuple(
+            P("pm", *([None] * (a.ndim - 1))) for a in arrays
+        )
+        self.d_send_idx = put_pm(self.xplan.send_idx)
+        self.d_recv_dst = put_pm(self.xplan.recv_dst)
+        self.d_self_src = put_pm(self.xplan.self_src)
+        self.d_self_dst = put_pm(self.xplan.self_dst)
+
+        self.max_k = int(max(np.diff(plan.B_rowptr).max(), 1))
+        self.max_nloc = int(max(np.diff(plan.BC_colptr).max(), 1))
+        self.b_sharding = NamedSharding(self.mesh, P("pm", "pn", None, None))
+        self._exec_jit = self._make_exec()
+
+        # ------- audit (reference para2d_spmm.c:102-109, rowpara_spmm.c:149)
+        last_nnz = int(
+            a.rowptr[plan.A0_rowptr[-1]] - a.rowptr[plan.A0_rowptr[-2]]
+        )
+        self.rA_cost = int(float(last_nnz) * float(pn - 1) * NNZ_COST_FACTOR)
+        self.rB_recv_size = int(self.xplan.total_recv_rows)  # rows, x n when printed
+
+    def _make_exec(self):
+        rB_nrow_max = max(self.xplan.rB_nrow_max, 1)
+        local_fn = self._local_fn
+        nk = len(self.d_kernel)
+
+        def local(*args):
+            # block shapes: (1, ..) over pm for A/plan; (1, 1, max_k, nloc) for B
+            kernel = tuple(a[0] for a in args[:nk])
+            send_idx, recv_dst, self_src, self_dst, b_loc = args[nk:]
+            rB = exchange_b(
+                b_loc[0, 0], send_idx[0], recv_dst[0], self_src[0], self_dst[0],
+                rB_nrow_max, "pm",
+            )
+            return local_fn(kernel, rB)[None, None]
+
+        pmspec = P("pm", None)
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=self._kernel_specs + (
+                P("pm", None, None), P("pm", None, None), pmspec, pmspec,
+                P("pm", "pn", None, None),
+            ),
+            out_specs=P("pm", "pn", None, None),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------ exec
+    def shard_b(self, b: np.ndarray) -> jax.Array:
+        """Global (k, n) -> (pm, pn, max_k, max_nloc) padded 2D blocks."""
+        plan = self.plan
+        out = np.zeros(
+            (self.pm, self.pn, self.max_k, self.max_nloc), dtype=self.dtype
+        )
+        for i in range(self.pm):
+            r0, r1 = int(plan.B_rowptr[i]), int(plan.B_rowptr[i + 1])
+            for j in range(self.pn):
+                c0, c1 = int(plan.BC_colptr[j]), int(plan.BC_colptr[j + 1])
+                out[i, j, : r1 - r0, : c1 - c0] = b[r0:r1, c0:c1]
+        return jax.device_put(out, self.b_sharding)
+
+    def unshard_c(self, c_shards) -> np.ndarray:
+        plan = self.plan
+        c_shards = np.asarray(c_shards)
+        out = np.zeros((plan.m, plan.n), dtype=c_shards.dtype)
+        for i in range(self.pm):
+            r0, r1 = int(plan.AC_rowptr[i]), int(plan.AC_rowptr[i + 1])
+            for j in range(self.pn):
+                c0, c1 = int(plan.BC_colptr[j]), int(plan.BC_colptr[j + 1])
+                out[r0:r1, c0:c1] = c_shards[i, j, : r1 - r0, : c1 - c0]
+        return out
+
+    def exec_device(self, b_shards: jax.Array) -> jax.Array:
+        return self._exec_jit(
+            *self.d_kernel,
+            self.d_send_idx, self.d_recv_dst, self.d_self_src, self.d_self_dst,
+            b_shards,
+        )
+
+    def exec(self, b: np.ndarray) -> np.ndarray:
+        with self.timer.phase("pack"):
+            bs = self.shard_b(b)
+            bs.block_until_ready()
+        c = self.exec_device(bs)
+        with self.timer.phase("exec", fence=c):
+            pass
+        self.timer.n_exec += 1
+        with self.timer.phase("unpack"):
+            out = self.unshard_c(c)
+        return out
+
+    # ----------------------------------------------------------------- stats
+    def print_stat(self) -> str:
+        """Merged table in the spirit of ``para2d_spmm_print_stat``
+        (``src/para2d_spmm.c:150-198``)."""
+        body = format_stat_table(
+            title="para2d_spmm",
+            t_init=self.t_init,
+            timer=self.timer,
+            comm_rows=self.rB_recv_size,
+            glb_n=self.glb_n,
+            physical_rows=self.xplan.physical_rows * self.pn,
+        )
+        head = [
+            f"Total comm size for replicating A = {self.rA_cost}",
+            f"Total comm size for replicating B = {self.rB_recv_size * self.glb_n}",
+            f"Total comm size for SpMM          = {self.rA_cost + self.rB_recv_size * self.glb_n}",
+        ]
+        return "\n".join(head) + "\n" + body
+
+    def clear_stat(self) -> None:
+        self.timer.clear()

@@ -1,0 +1,245 @@
+"""1D row-parallel SpMM engine.
+
+TPU-native counterpart of ``rp_spmm`` (``src/rowpara_spmm.{h,c}``): A is
+partitioned into p nnz-balanced row blocks (one per device along the ``pm``
+mesh axis), B/C are row-partitioned by ownership; each exec performs the
+plan-driven sparsity-aware B-row halo exchange (``comm.exchange``) followed
+by the local SpMM kernel — all inside one jitted ``shard_map``.
+
+Differences from the reference by design:
+  * the needed-row index exchange (``MPI_Alltoall(v)``,
+    ``src/rowpara_spmm.c:152-165``) happens at plan time on the host — the
+    planner holds the global pattern, no startup collective is needed;
+  * pack -> a2a -> unpack -> spmm are fused into one XLA program; a staged
+    variant (``exec_timed``) fences per phase to reproduce the reference's
+    stat table (``rp_spmm_print_stat``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import SpmmConfig
+from ..comm.exchange import build_b_exchange, exchange_b
+from ..kernels.dispatch import pack_local_kernel
+from ..shard.layout import make_mesh_1d, shard_dense_rows, stack_padded, unshard_dense_rows
+from ..utils.timers import Timer
+from .stats import format_stat_table
+
+
+class RowParaSpmm:
+    """init(plan)/exec(B)->C engine for 1D row-parallel SpMM."""
+
+    def __init__(
+        self,
+        a,                      # global CSRMatrix
+        A_row_displs,           # (p+1,) row blocks of A and C
+        B_row_displs,           # (p+1,) ownership partition of B rows
+        glb_n: int,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        axis: str = "pm",
+        config: Optional[SpmmConfig] = None,
+        dtype=np.float64,
+    ) -> None:
+        self.config = config or SpmmConfig()
+        self.A_row_displs = np.asarray(A_row_displs, dtype=np.int64)
+        self.B_row_displs = np.asarray(B_row_displs, dtype=np.int64)
+        self.p = len(self.A_row_displs) - 1
+        self.glb_n = glb_n
+        self.axis = axis
+        self.mesh = mesh if mesh is not None else make_mesh_1d(self.p, axis)
+        self.dtype = np.dtype(dtype)
+        self.glb_m = a.nrow
+        self.timer = Timer()
+
+        t0 = Timer()
+        with t0.phase("init"):
+            self._build(a)
+        self.t_init = t0.t["init"]
+
+    # ------------------------------------------------------------------ init
+    def _build(self, a) -> None:
+        p = self.p
+        shards = [
+            a.row_slice(int(self.A_row_displs[i]), int(self.A_row_displs[i + 1]))
+            for i in range(p)
+        ]
+        self.max_m = max(max(s.nrow for s in shards), 1)
+
+        # B exchange plan from each shard's referenced global B rows
+        reidx = bool(self.config.rb_reidx)
+        self.xplan = build_b_exchange(
+            [s.colidx for s in shards], self.B_row_displs, reidx=reidx
+        )
+
+        # compact local column indices into the rB coordinate space
+        shards_compact = []
+        for i, s in enumerate(shards):
+            if reidx:
+                cc = np.searchsorted(self.xplan.rowmap[i], s.colidx).astype(np.int32)
+            else:
+                cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
+            shards_compact.append((s.rowptr, cc, s.val))
+        kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
+        arrays, self._local_fn = pack_local_kernel(
+            shards_compact, self.max_m, self.dtype, kind
+        )
+
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        put = functools.partial(jax.device_put, device=sharding)
+        self.d_kernel = tuple(put(a) for a in arrays)
+        self._kernel_specs = tuple(
+            P(self.axis, *([None] * (a.ndim - 1))) for a in arrays
+        )
+        self.d_send_idx = put(self.xplan.send_idx)
+        self.d_recv_dst = put(self.xplan.recv_dst)
+        self.d_self_src = put(self.xplan.self_src)
+        self.d_self_dst = put(self.xplan.self_dst)
+
+        self.max_k = int(
+            max(np.diff(self.B_row_displs).max(), 1)
+        )
+        self.b_sharding = NamedSharding(self.mesh, P(self.axis, None, None))
+        self._exec_jit = self._make_exec()
+        self._exchange_jit, self._spmm_jit = self._make_staged()
+
+        # audit (reference: rB_recv_size, src/rowpara_spmm.c:149)
+        self.rB_recv_rows = self.xplan.rB_recv_rows
+        self.rB_recv_size = int(self.xplan.total_recv_rows)
+
+    def _shard_specs(self):
+        ax = self.axis
+        return dict(
+            xch=(P(ax, None, None), P(ax, None, None), P(ax, None), P(ax, None)),
+            b=P(ax, None, None),
+        )
+
+    def _make_exec(self):
+        specs = self._shard_specs()
+        rB_nrow_max = max(self.xplan.rB_nrow_max, 1)
+        axis = self.axis
+        local_fn = self._local_fn
+        nk = len(self.d_kernel)
+
+        def local(*args):
+            kernel = tuple(a[0] for a in args[:nk])
+            send_idx, recv_dst, self_src, self_dst, b_loc = args[nk:]
+            rB = exchange_b(
+                b_loc[0], send_idx[0], recv_dst[0], self_src[0], self_dst[0],
+                rB_nrow_max, axis,
+            )
+            return local_fn(kernel, rB)[None]
+
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=self._kernel_specs + specs["xch"] + (specs["b"],),
+            out_specs=specs["b"],
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _make_staged(self):
+        """Exchange and local-SpMM as separate jitted stages for phase timing."""
+        specs = self._shard_specs()
+        rB_nrow_max = max(self.xplan.rB_nrow_max, 1)
+        axis = self.axis
+        local_fn = self._local_fn
+
+        def xch(send_idx, recv_dst, self_src, self_dst, b_loc):
+            return exchange_b(
+                b_loc[0], send_idx[0], recv_dst[0], self_src[0], self_dst[0],
+                rB_nrow_max, axis,
+            )[None]
+
+        def spmm(*args):
+            kernel = tuple(a[0] for a in args[:-1])
+            return local_fn(kernel, args[-1][0])[None]
+
+        xch_fn = jax.jit(jax.shard_map(
+            xch, mesh=self.mesh,
+            in_specs=specs["xch"] + (specs["b"],),
+            out_specs=specs["b"], check_vma=False,
+        ))
+        spmm_fn = jax.jit(jax.shard_map(
+            spmm, mesh=self.mesh,
+            in_specs=self._kernel_specs + (specs["b"],),
+            out_specs=specs["b"], check_vma=False,
+        ))
+        return xch_fn, spmm_fn
+
+    # ------------------------------------------------------------------ exec
+    def shard_b(self, b: np.ndarray) -> jax.Array:
+        """Global (k, n) host B -> device-stacked padded shards (p, max_k, n)."""
+        bs = shard_dense_rows(
+            np.asarray(b, dtype=self.dtype), self.B_row_displs, pad_rows=self.max_k
+        )
+        return jax.device_put(bs, self.b_sharding)
+
+    def unshard_c(self, c_shards) -> np.ndarray:
+        c = unshard_dense_rows(np.asarray(c_shards), self.A_row_displs)
+        if c.shape[0] < self.glb_m:
+            # rows past the last nnz-balanced block are empty A rows (the
+            # reference's binary search leaves trailing all-zero rows out of
+            # every block, src/spmat_part.c:20-33) -> C rows are zero
+            pad = np.zeros((self.glb_m - c.shape[0], c.shape[1]), c.dtype)
+            c = np.concatenate([c, pad], axis=0)
+        return c
+
+    def exec_device(self, b_shards: jax.Array) -> jax.Array:
+        """Fused exchange + SpMM on pre-sharded B; returns (p, max_m, n) shards."""
+        return self._exec_jit(
+            *self.d_kernel,
+            self.d_send_idx, self.d_recv_dst, self.d_self_src, self.d_self_dst,
+            b_shards,
+        )
+
+    def exec(self, b: np.ndarray) -> np.ndarray:
+        """C := A @ B from a global host B; returns global host C (m, n)."""
+        with self.timer.phase("pack"):
+            bs = self.shard_b(b)
+            bs.block_until_ready()
+        c = self.exec_device(bs)
+        with self.timer.phase("exec", fence=c):
+            pass
+        self.timer.n_exec += 1
+        with self.timer.phase("unpack"):
+            out = self.unshard_c(c)
+        return out
+
+    def exec_timed(self, b_shards: jax.Array) -> jax.Array:
+        """Staged exec with per-phase fences (reference stat table parity)."""
+        t = self.timer
+        with t.phase("a2a"):
+            rB = self._exchange_jit(
+                self.d_send_idx, self.d_recv_dst, self.d_self_src, self.d_self_dst,
+                b_shards,
+            )
+            rB.block_until_ready()
+        with t.phase("spmm"):
+            c = self._spmm_jit(*self.d_kernel, rB)
+            c.block_until_ready()
+        t.n_exec += 1
+        return c
+
+    # ----------------------------------------------------------------- stats
+    def print_stat(self) -> str:
+        """Stat table in the spirit of ``rp_spmm_print_stat``
+        (``src/rowpara_spmm.c:425-464``)."""
+        return format_stat_table(
+            title="rp_spmm",
+            t_init=self.t_init,
+            timer=self.timer,
+            comm_rows=self.rB_recv_size,
+            glb_n=self.glb_n,
+            physical_rows=self.xplan.physical_rows,
+        )
+
+    def clear_stat(self) -> None:
+        self.timer.clear()

@@ -1,0 +1,80 @@
+"""Local SpMM kernel tests (kernels layer) — fp64 on CPU, vs scipy."""
+
+import jax
+import numpy as np
+import pytest
+
+from crp_tpu.kernels.spmm_jnp import DeviceCSR, pack_device_csr, spmm_segment_sum
+from crp_tpu.sparse.synth import banded_random_csr, powerlaw_random_csr, fill_b
+from crp_tpu.utils.norms import rel_fro_err
+
+
+@pytest.mark.parametrize("gen,kw", [
+    (banded_random_csr, dict(nnz_per_row=7, bandwidth=30)),
+    (powerlaw_random_csr, dict(avg_degree=9)),
+])
+def test_spmm_matches_scipy(gen, kw):
+    a = gen(300, seed=17, **kw)
+    b = fill_b(0, a.ncol, 0, 40)
+    row_ids, cols, vals = pack_device_csr(a.rowptr, a.colidx, a.val, a.nnz)
+    c = spmm_segment_sum(DeviceCSR(row_ids, cols, vals, a.nrow), b)
+    assert rel_fro_err(a.spmm_ref(b), np.asarray(c)) <= 1e-12
+
+
+def test_spmm_with_padding():
+    """Padded nnz entries (row_id = nrow) must not contribute."""
+    a = banded_random_csr(100, nnz_per_row=5, bandwidth=10, seed=3)
+    b = fill_b(0, a.ncol, 0, 8)
+    row_ids, cols, vals = pack_device_csr(a.rowptr, a.colidx, a.val, a.nnz + 177)
+    c = spmm_segment_sum(DeviceCSR(row_ids, cols, vals, a.nrow), b)
+    assert rel_fro_err(a.spmm_ref(b), np.asarray(c)) <= 1e-12
+
+
+def test_spmm_under_jit():
+    a = powerlaw_random_csr(200, avg_degree=5, seed=4)
+    b = np.asarray(fill_b(0, a.ncol, 0, 16))
+    row_ids, cols, vals = pack_device_csr(a.rowptr, a.colidx, a.val, a.nnz)
+
+    @jax.jit
+    def run(r, c, v, b):
+        return spmm_segment_sum(DeviceCSR(r, c, v, a.nrow), b)
+
+    c = run(row_ids, cols, vals, b)
+    assert rel_fro_err(a.spmm_ref(b), np.asarray(c)) <= 1e-12
+
+
+def test_spmm_empty_rows_and_matrix():
+    from crp_tpu.sparse.csr import CSRMatrix
+    a = CSRMatrix(5, 5, np.array([0, 0, 2, 2, 2, 3]),
+                  np.array([1, 4, 0], dtype=np.int32), np.array([2.0, 3.0, 4.0]))
+    b = fill_b(0, 5, 0, 4)
+    row_ids, cols, vals = pack_device_csr(a.rowptr, a.colidx, a.val, a.nnz)
+    c = np.asarray(spmm_segment_sum(DeviceCSR(row_ids, cols, vals, 5), b))
+    np.testing.assert_allclose(c, a.to_dense() @ b, rtol=1e-14)
+    assert np.all(c[0] == 0) and np.all(c[2] == 0)
+
+
+def test_ell_kernel_matches_scipy():
+    from crp_tpu.kernels.spmm_ell import pack_ell, spmm_ell
+
+    a = banded_random_csr(300, nnz_per_row=7, bandwidth=30, seed=18)
+    b = np.asarray(fill_b(0, a.ncol, 0, 24))
+    cols, vals = pack_ell(a.rowptr, a.colidx, a.val, a.nrow)
+    c = spmm_ell(cols, vals, b)
+    assert rel_fro_err(a.spmm_ref(b), np.asarray(c)) <= 1e-12
+
+
+def test_ell_kernel_padded_rows():
+    from crp_tpu.kernels.spmm_ell import pack_ell, spmm_ell
+
+    a = powerlaw_random_csr(150, avg_degree=6, seed=19)
+    b = np.asarray(fill_b(0, a.ncol, 0, 8))
+    # extra row padding and forced larger L
+    max_row = int(np.diff(a.rowptr).max())
+    cols, vals = pack_ell(a.rowptr, a.colidx, a.val, a.nrow + 13, L=max_row + 10)
+    c = np.asarray(spmm_ell(cols, vals, b))
+    assert rel_fro_err(a.spmm_ref(b), c[: a.nrow]) <= 1e-12
+    assert np.all(c[a.nrow:] == 0)
+    # too-small L must be rejected loudly
+    with pytest.raises(ValueError):
+        pack_ell(a.rowptr, a.colidx, a.val, a.nrow, L=1)

@@ -1,0 +1,106 @@
+"""End-to-end 1D row-parallel engine tests on the 8-device CPU mesh.
+
+Mirrors the reference's ``test_rp_spmm`` driver acceptance path
+(``examples/test_rp_spmm.c``): analytic B, full-matrix fp64 reference SpMM,
+``||C_ref - C||_F / ||C_ref||_F <= 1e-12``.
+"""
+
+import numpy as np
+import pytest
+
+from crp_tpu.config import SpmmConfig
+from crp_tpu.engine.rowpara import RowParaSpmm
+from crp_tpu.plan.partition1d import csr_row_partition
+from crp_tpu.sparse.synth import banded_random_csr, powerlaw_random_csr, fill_b
+from crp_tpu.shard.layout import make_mesh_1d
+from crp_tpu.utils.blocks import uniform_displs
+from crp_tpu.utils.norms import rel_fro_err
+
+
+def build_engine(a, p, n, devices8, reidx=1, b_displs=None):
+    displs = csr_row_partition(a.rowptr, p)
+    if b_displs is None:
+        b_displs = displs if a.nrow == a.ncol else uniform_displs(a.ncol, p)
+    mesh = make_mesh_1d(p, devices=devices8)
+    cfg = SpmmConfig(rb_reidx=reidx)
+    return RowParaSpmm(a, displs, b_displs, n, mesh=mesh, config=cfg)
+
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+@pytest.mark.parametrize("gen,kw", [
+    (banded_random_csr, dict(nnz_per_row=7, bandwidth=40)),
+    (powerlaw_random_csr, dict(avg_degree=10)),
+])
+def test_rowpara_matches_reference(p, gen, kw, devices8):
+    a = gen(500, seed=20, **kw)
+    n = 24
+    eng = build_engine(a, p, n, devices8)
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    c = eng.exec(b)
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
+def test_rowpara_no_reidx(devices8):
+    a = banded_random_csr(300, nnz_per_row=5, bandwidth=25, seed=21)
+    b = np.asarray(fill_b(0, a.ncol, 0, 8))
+    c = build_engine(a, 4, 8, devices8, reidx=0).exec(b)
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
+def test_rowpara_rectangular(devices8):
+    """m != k: B rows partitioned uniformly (reference planner rule)."""
+    a0 = banded_random_csr(400, nnz_per_row=6, bandwidth=30, seed=22)
+    keep = a0.colidx < 250
+    rows = np.repeat(np.arange(a0.nrow), np.diff(a0.rowptr))[keep]
+    from crp_tpu.sparse.csr import CSRMatrix
+    a = CSRMatrix.from_coo(400, 250, rows, a0.colidx[keep], a0.val[keep])
+    b = np.asarray(fill_b(0, 250, 0, 10))
+    c = build_engine(a, 4, 10, devices8).exec(b)
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
+def test_rowpara_exec_repeated_and_timed(devices8):
+    a = banded_random_csr(200, nnz_per_row=5, bandwidth=15, seed=23)
+    eng = build_engine(a, 4, 8, devices8)
+    b = np.asarray(fill_b(0, a.ncol, 0, 8))
+    ref = a.spmm_ref(b)
+    bs = eng.shard_b(b)
+    for _ in range(3):
+        c = eng.exec_timed(bs)
+    assert rel_fro_err(ref, eng.unshard_c(c)) <= 1e-12
+    assert eng.timer.n_exec == 3
+    stat = eng.print_stat()
+    assert "Local SpMM" in stat and "Redistribute B" in stat
+
+
+def test_rowpara_audit_matches_planner(devices8):
+    from crp_tpu.plan.partition1d import csr_row_part_comm_size
+
+    a = powerlaw_random_csr(400, avg_degree=7, seed=24)
+    eng = build_engine(a, 8, 16, devices8)
+    _, total = csr_row_part_comm_size(
+        a.ncol, a.rowptr, a.colidx, eng.A_row_displs, eng.B_row_displs
+    )
+    assert eng.rB_recv_size == total
+
+
+def test_rowpara_fp32_tolerance(devices8):
+    """fp32 path (the TPU default dtype) stays within fp32 tolerance."""
+    a = banded_random_csr(300, nnz_per_row=6, bandwidth=20, seed=25)
+    displs = csr_row_partition(a.rowptr, 4)
+    mesh = make_mesh_1d(4, devices=devices8)
+    eng = RowParaSpmm(a, displs, displs, 8, mesh=mesh, dtype=np.float32)
+    b = np.asarray(fill_b(0, a.ncol, 0, 8, dtype=np.float32))
+    c = eng.exec(b)
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-5
+
+
+def test_rowpara_ell_kernel(devices8):
+    """Engine with the ELL slot-scan local kernel."""
+    a = banded_random_csr(300, nnz_per_row=6, bandwidth=25, seed=26)
+    displs = csr_row_partition(a.rowptr, 4)
+    mesh = make_mesh_1d(4, devices=devices8)
+    eng = RowParaSpmm(a, displs, displs, 8, mesh=mesh,
+                      config=SpmmConfig(kernel="ell"))
+    b = np.asarray(fill_b(0, a.ncol, 0, 8))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
