@@ -35,7 +35,7 @@ def main():
     nrow = int(os.environ.get("CRP_BENCH_NROW", 217918))
     n = int(os.environ.get("CRP_BENCH_N", 256))
     ntest = int(os.environ.get("CRP_BENCH_NTEST", 5))
-    kernel = os.environ.get("CRP_BENCH_KERNEL", "ell")
+    kernel = os.environ.get("CRP_BENCH_KERNEL", "pallas")
 
     a = banded_random_csr(nrow, nnz_per_row=53, bandwidth=2500, seed=1234,
                           dtype=np.float32)

@@ -22,9 +22,28 @@ __version__ = "0.1.0"
 from .sparse.csr import CSRMatrix
 from .sparse.mmio import read_mtx_csr
 from .plan.partition1d import csr_row_partition, csr_row_part_comm_size
-from .plan.planner2d import calc_spmm_part2d_from_1d, Plan2D
+from .plan.planner2d import calc_spmm_part2d_from_1d, plan_from_csr, Plan2D
 from .plan.bandwidth import calc_bandwidth_part2d
 from .config import SpmmConfig, get_env_int
+
+
+def __getattr__(name):
+    # engines/redist import jax; keep top-level import light for host-only use
+    if name in ("RowParaSpmm", "Para2dSpmm", "CrpSpmm", "RedistEngine", "BlockDist"):
+        from .engine.rowpara import RowParaSpmm
+        from .engine.para2d import Para2dSpmm
+        from .engine.crp import CrpSpmm
+        from .shard.redist import RedistEngine, BlockDist
+
+        return {
+            "RowParaSpmm": RowParaSpmm,
+            "Para2dSpmm": Para2dSpmm,
+            "CrpSpmm": CrpSpmm,
+            "RedistEngine": RedistEngine,
+            "BlockDist": BlockDist,
+        }[name]
+    raise AttributeError(f"module 'crp_tpu' has no attribute {name!r}")
+
 
 __all__ = [
     "CSRMatrix",
@@ -32,8 +51,14 @@ __all__ = [
     "csr_row_partition",
     "csr_row_part_comm_size",
     "calc_spmm_part2d_from_1d",
+    "plan_from_csr",
     "calc_bandwidth_part2d",
     "Plan2D",
     "SpmmConfig",
     "get_env_int",
+    "RowParaSpmm",
+    "Para2dSpmm",
+    "CrpSpmm",
+    "RedistEngine",
+    "BlockDist",
 ]

@@ -87,6 +87,11 @@ class Para2dSpmm:
         arrays, self._local_fn = pack_local_kernel(
             shards_compact, self.max_m, self.dtype, kind
         )
+        # the pallas windowed kernel needs rB padded so window DMAs stay
+        # in-bounds; extra rows only ever meet zero A-tile columns
+        self._rb_rows = max(
+            self.xplan.rB_nrow_max, getattr(self._local_fn, "min_b_rows", 1), 1
+        )
 
         # P('pm', None, ...): replicated along pn — the all-gather-A equivalent
         def put_pm(a):
@@ -116,7 +121,7 @@ class Para2dSpmm:
         self.rB_recv_size = int(self.xplan.total_recv_rows)  # rows, x n when printed
 
     def _make_exec(self):
-        rB_nrow_max = max(self.xplan.rB_nrow_max, 1)
+        rB_nrow_max = self._rb_rows
         local_fn = self._local_fn
         nk = len(self.d_kernel)
 

@@ -90,6 +90,11 @@ class RowParaSpmm:
         arrays, self._local_fn = pack_local_kernel(
             shards_compact, self.max_m, self.dtype, kind
         )
+        # the pallas windowed kernel needs rB padded so window DMAs stay
+        # in-bounds; extra rows only ever meet zero A-tile columns
+        self._rb_rows = max(
+            self.xplan.rB_nrow_max, getattr(self._local_fn, "min_b_rows", 1), 1
+        )
 
         sharding = NamedSharding(self.mesh, P(self.axis))
         put = functools.partial(jax.device_put, device=sharding)
@@ -122,7 +127,7 @@ class RowParaSpmm:
 
     def _make_exec(self):
         specs = self._shard_specs()
-        rB_nrow_max = max(self.xplan.rB_nrow_max, 1)
+        rB_nrow_max = self._rb_rows
         axis = self.axis
         local_fn = self._local_fn
         nk = len(self.d_kernel)
@@ -148,7 +153,7 @@ class RowParaSpmm:
     def _make_staged(self):
         """Exchange and local-SpMM as separate jitted stages for phase timing."""
         specs = self._shard_specs()
-        rB_nrow_max = max(self.xplan.rB_nrow_max, 1)
+        rB_nrow_max = self._rb_rows
         axis = self.axis
         local_fn = self._local_fn
 

@@ -62,8 +62,49 @@ def pack_local_kernel(
         return arrays, local_fn
 
     if kind == "pallas":
-        from .spmm_pallas import pack_pallas_kernel
-
-        return pack_pallas_kernel(shards, max_m, dtype)
+        return _pack_pallas(shards, max_m, dtype)
 
     raise ValueError(f"unknown local SpMM kernel kind {kind!r}")
+
+
+def _pack_pallas(shards, max_m, dtype):
+    """Stack per-shard WindowDense packs to common (G, T) dims.
+
+    The returned local_fn carries ``min_b_rows``: engines must size the
+    receive buffer rB to at least this many rows so every window DMA is
+    in-bounds.
+    """
+    import jax
+
+    from .spmm_pallas import pack_window_dense, spmm_window_pallas, WindowDense
+
+    packs = []
+    for rowptr, cc, v in shards:
+        ncol = int(cc.max()) + 1 if len(cc) else 1
+        packs.append(
+            pack_window_dense(rowptr, cc, v.astype(dtype), ncol, dtype=dtype)
+        )
+    TM = packs[0].TM
+    G = max(max(p.G for p in packs), -(-max_m // TM))
+    T = max(p.T for p in packs)
+    W = T * 128
+    tiles = np.zeros((len(packs), G, T, TM, 128), dtype=dtype)
+    ws = np.zeros((len(packs), G), dtype=np.int32)
+    for i, p in enumerate(packs):
+        tiles[i, : p.G, : p.T] = p.tiles
+        ws[i, : p.G] = p.ws
+    min_b_rows = int(ws.max()) + W
+    interpret = jax.default_backend() != "tpu"
+
+    def local_fn(arrs, rB):
+        ws_i, tiles_i = arrs
+        packed = WindowDense(
+            nrow=max_m, ncol=rB.shape[0], TM=TM, G=G, T=T, W=W,
+            ws=ws_i, tiles=tiles_i,
+        )
+        c = spmm_window_pallas(packed, rB, TN=128, interpret=interpret)
+        return c[:max_m].astype(rB.dtype)
+
+    local_fn.min_b_rows = min_b_rows
+    arrays = (ws, tiles)
+    return arrays, local_fn

@@ -78,3 +78,27 @@ def test_ell_kernel_padded_rows():
     # too-small L must be rejected loudly
     with pytest.raises(ValueError):
         pack_ell(a.rowptr, a.colidx, a.val, a.nrow, L=1)
+
+
+def test_pallas_window_kernel_interpret():
+    """Windowed dense-tile kernel (interpret mode) vs scipy, n not 128-aligned."""
+    import jax.numpy as jnp
+    from crp_tpu.kernels.spmm_pallas import (
+        pack_window_dense, spmm_window_pallas, pad_b_for_window,
+    )
+
+    a = banded_random_csr(700, nnz_per_row=6, bandwidth=40, seed=28)
+    b = np.asarray(fill_b(0, a.ncol, 0, 48))
+    packed = pack_window_dense(a.rowptr, a.colidx, a.val, a.ncol, TM=256,
+                               dtype=np.float64)
+    bp = jnp.asarray(pad_b_for_window(b, packed))
+    c = np.asarray(spmm_window_pallas(packed, bp, interpret=True))[: a.nrow]
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
+def test_pallas_pack_rejects_wide_windows():
+    from crp_tpu.kernels.spmm_pallas import pack_window_dense, UnsupportedSparsity
+
+    a = powerlaw_random_csr(3000, avg_degree=5, seed=29)
+    with pytest.raises(UnsupportedSparsity):
+        pack_window_dense(a.rowptr, a.colidx, a.val, a.ncol, max_window=256)

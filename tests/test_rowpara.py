@@ -104,3 +104,14 @@ def test_rowpara_ell_kernel(devices8):
                       config=SpmmConfig(kernel="ell"))
     b = np.asarray(fill_b(0, a.ncol, 0, 8))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_rowpara_pallas_kernel(devices8):
+    """Engine with the Pallas windowed kernel (interpret mode on CPU)."""
+    a = banded_random_csr(300, nnz_per_row=6, bandwidth=25, seed=27)
+    displs = csr_row_partition(a.rowptr, 4)
+    mesh = make_mesh_1d(4, devices=devices8)
+    eng = RowParaSpmm(a, displs, displs, 8, mesh=mesh,
+                      config=SpmmConfig(kernel="pallas"))
+    b = np.asarray(fill_b(0, a.ncol, 0, 8))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
