@@ -77,21 +77,26 @@ def pack_window_dense(
     rows or the dense tiles exceed ``max_expand_bytes``.
     """
     nrow = len(rowptr) - 1
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
     nnz = int(rowptr[-1])
     if nnz == 0:
         raise UnsupportedSparsity("empty shard")
     G = -(-nrow // TM)
-    r = np.repeat(np.arange(nrow, dtype=np.int64), np.diff(rowptr))
-    c = np.asarray(colidx, dtype=np.int64)
-    v = np.asarray(val, dtype=dtype)
-    g = r // TM
-    t = c // TK
 
-    min_t = np.full(G, -(-ncol // TK), dtype=np.int64)
-    max_t = np.full(G, 0, dtype=np.int64)
-    np.minimum.at(min_t, g, t)
-    np.maximum.at(max_t, g, t)
-    min_t = np.minimum(min_t, max_t)  # empty groups -> [0, 0]
+    # per-group [min, max] column tile from per-row ranges (cols sorted per
+    # row -> first/last nnz of the row are its extrema); O(nrow), no nnz pass
+    counts = np.diff(rowptr)
+    nonempty = counts > 0
+    row_min = np.full(nrow, np.iinfo(np.int64).max, dtype=np.int64)
+    row_max = np.full(nrow, -1, dtype=np.int64)
+    row_min[nonempty] = colidx[rowptr[:-1][nonempty]]
+    row_max[nonempty] = colidx[rowptr[1:][nonempty] - 1]
+    starts = np.arange(G) * TM
+    min_t = np.minimum.reduceat(row_min, starts) // TK
+    max_t = np.maximum.reduceat(row_max, starts) // TK
+    empty = max_t < 0
+    min_t = np.where(empty, 0, np.minimum(min_t, max_t))
+    max_t = np.where(empty, 0, max_t)
     W = int(((max_t - min_t + 1).max()) * TK)
     if W > max_window:
         raise UnsupportedSparsity(f"window {W} rows > cap {max_window}")
@@ -103,6 +108,26 @@ def pack_window_dense(
             f"dense window tiles {tile_bytes >> 20} MiB > cap"
         )
 
+    if np.dtype(dtype) == np.float32:
+        from .. import native
+
+        res = native.pack_window_f32(
+            nrow, ncol, rowptr, colidx, np.asarray(val, np.float32),
+            TM, TK, max_window, G, T,
+        )
+        if res is not None:
+            ws_n, tiles, w_n = res
+            assert w_n == W, (w_n, W)
+            return WindowDense(
+                nrow=nrow, ncol=ncol, TM=TM, G=G, T=T, W=W,
+                ws=ws_n, tiles=tiles,
+            )
+
+    r = np.repeat(np.arange(nrow, dtype=np.int64), counts)
+    c = np.asarray(colidx, dtype=np.int64)
+    v = np.asarray(val, dtype=dtype)
+    g = r // TM
+    t = c // TK
     tiles = np.zeros((G, T, TM, TK), dtype=dtype)
     # flat scatter: tile (g, t - min_t[g]), position (r % TM, c % TK)
     flat = (

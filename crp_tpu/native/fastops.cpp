@@ -1,0 +1,194 @@
+// Native host-side hot paths for crp_tpu, loaded via ctypes.
+//
+// The reference keeps its planner and I/O in C for speed (src/spmat_part.c,
+// examples/mmio_utils.c); these are the TPU framework's equivalents — the
+// pieces that stay on the host CPU and dominate plan/init time at
+// 100M-nnz scale:
+//   * crp_comm_size        — exact per-block SpMV comm volume (the planner's
+//                            hot loop, algorithmically matching
+//                            csr_mat_row_part_comm_size semantics)
+//   * crp_coo2csr_*        — COO -> column-sorted CSR
+//   * crp_pack_window_*    — densify window tiles for the Pallas kernel
+//   * crp_mtx_read         — buffered Matrix Market coordinate parser with
+//                            symmetric mirror expansion
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC fastops.cpp -o libcrpfast.so
+
+#include <algorithm>
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Exact SpMV comm volume per row block: distinct columns touched by the
+// block's rows minus distinct touched columns inside the block's owned
+// x-range.  nnz_bounds[i] = first nnz index of block i (nblk+1 entries).
+void crp_comm_size(
+    int64_t ncol, int64_t nblk,
+    const int64_t* nnz_bounds, const int32_t* colidx,
+    const int64_t* x_displs, int64_t* comm_sizes)
+{
+#pragma omp parallel
+    {
+        std::vector<uint8_t> flag(ncol, 0);
+#pragma omp for schedule(dynamic)
+        for (int64_t b = 0; b < nblk; b++) {
+            std::fill(flag.begin(), flag.end(), 0);
+            for (int64_t j = nnz_bounds[b]; j < nnz_bounds[b + 1]; j++)
+                flag[colidx[j]] = 1;
+            int64_t cnt = 0;
+            for (int64_t c = 0; c < ncol; c++) cnt += flag[c];
+            for (int64_t c = x_displs[b]; c < x_displs[b + 1]; c++)
+                cnt -= flag[c];
+            comm_sizes[b] = cnt;
+        }
+    }
+}
+
+// COO -> CSR with per-row column-sorted entries (duplicates kept).
+static void coo2csr_impl(
+    int64_t nrow, int64_t nnz,
+    const int64_t* rows, const int64_t* cols, const double* vals,
+    int64_t* rowptr, int32_t* colidx, double* csrval)
+{
+    std::memset(rowptr, 0, sizeof(int64_t) * (nrow + 1));
+    for (int64_t i = 0; i < nnz; i++) rowptr[rows[i] + 1]++;
+    for (int64_t i = 0; i < nrow; i++) rowptr[i + 1] += rowptr[i];
+    std::vector<int64_t> pos(rowptr, rowptr + nrow);
+    for (int64_t i = 0; i < nnz; i++) {
+        int64_t p = pos[rows[i]]++;
+        colidx[p] = (int32_t)cols[i];
+        csrval[p] = vals[i];
+    }
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < nrow; r++) {
+        int64_t s = rowptr[r], e = rowptr[r + 1];
+        std::vector<std::pair<int32_t, double>> tmp;
+        tmp.reserve(e - s);
+        for (int64_t j = s; j < e; j++) tmp.emplace_back(colidx[j], csrval[j]);
+        std::stable_sort(tmp.begin(), tmp.end(),
+                         [](auto& a, auto& b) { return a.first < b.first; });
+        for (int64_t j = s; j < e; j++) {
+            colidx[j] = tmp[j - s].first;
+            csrval[j] = tmp[j - s].second;
+        }
+    }
+}
+
+void crp_coo2csr(
+    int64_t nrow, int64_t nnz,
+    const int64_t* rows, const int64_t* cols, const double* vals,
+    int64_t* rowptr, int32_t* colidx, double* csrval)
+{
+    coo2csr_impl(nrow, nnz, rows, cols, vals, rowptr, colidx, csrval);
+}
+
+// Densify window tiles for the Pallas kernel (see kernels/spmm_pallas.py):
+// per row group of TM rows, tiles cover [min 128-tile, max 128-tile].
+// Outputs: ws[G] (window start rows) and tiles[G*T*TM*TK] (zero-initialized
+// by the caller).  Returns the window width W (rows), or -1 if it would
+// exceed max_window.
+int64_t crp_pack_window_f32(
+    int64_t nrow, int64_t ncol, const int64_t* rowptr, const int32_t* colidx,
+    const float* val, int64_t TM, int64_t TK, int64_t max_window,
+    int64_t G, int64_t T_cap, int32_t* ws, float* tiles)
+{
+    int64_t ntile_tot = (ncol + TK - 1) / TK;
+    std::vector<int64_t> min_t(G, ntile_tot), max_t(G, 0);
+    for (int64_t g = 0; g < G; g++) {
+        int64_t r0 = g * TM, r1 = std::min(nrow, (g + 1) * TM);
+        for (int64_t j = rowptr[r0]; j < rowptr[r1]; j++) {
+            int64_t t = colidx[j] / TK;
+            if (t < min_t[g]) min_t[g] = t;
+            if (t > max_t[g]) max_t[g] = t;
+        }
+        if (min_t[g] > max_t[g]) min_t[g] = max_t[g];
+    }
+    int64_t T = 1;
+    for (int64_t g = 0; g < G; g++) T = std::max(T, max_t[g] - min_t[g] + 1);
+    if (T * TK > max_window || T > T_cap) return -1;
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t g = 0; g < G; g++) {
+        ws[g] = (int32_t)(min_t[g] * TK);
+        int64_t r0 = g * TM, r1 = std::min(nrow, (g + 1) * TM);
+        float* base = tiles + g * T * TM * TK;
+        for (int64_t r = r0; r < r1; r++) {
+            int64_t lr = r - r0;
+            for (int64_t j = rowptr[r]; j < rowptr[r + 1]; j++) {
+                int64_t c = colidx[j];
+                int64_t ti = c / TK - min_t[g];
+                base[(ti * TM + lr) * TK + (c % TK)] += val[j];
+            }
+        }
+    }
+    return T * TK;
+}
+
+// Matrix Market coordinate parser.  Two-phase: stat then read.
+// field: 0 real/double, 1 integer, 2 pattern.  symm: 0 general, 1 symmetric.
+int crp_mtx_stat(const char* path, int64_t* nrow, int64_t* ncol,
+                 int64_t* nnz_stored, int* symm, int* field)
+{
+    FILE* f = std::fopen(path, "r");
+    if (!f) return -1;
+    char line[1024];
+    if (!std::fgets(line, sizeof line, f)) { std::fclose(f); return -2; }
+    for (char* p = line; *p; p++) *p = (char)std::tolower(*p);
+    if (!std::strstr(line, "%%matrixmarket") ||
+        !std::strstr(line, "coordinate")) { std::fclose(f); return -3; }
+    *field = std::strstr(line, "pattern") ? 2
+           : std::strstr(line, "integer") ? 1 : 0;
+    if (std::strstr(line, "complex") || std::strstr(line, "hermitian") ||
+        std::strstr(line, "skew")) { std::fclose(f); return -4; }
+    *symm = std::strstr(line, "symmetric") ? 1 : 0;
+    while (std::fgets(line, sizeof line, f))
+        if (line[0] != '%') break;
+    long long m, n, z;
+    if (std::sscanf(line, "%lld %lld %lld", &m, &n, &z) != 3) {
+        std::fclose(f);
+        return -5;
+    }
+    *nrow = m; *ncol = n; *nnz_stored = z;
+    std::fclose(f);
+    return 0;
+}
+
+// Read entries (0-based output).  rows/cols/vals must have capacity for
+// nnz_stored * (symmetric expansion ? 2 : 1).  Returns final nnz or < 0.
+int64_t crp_mtx_read(const char* path, int64_t nnz_stored, int expand_symm,
+                     int field, int64_t* rows, int64_t* cols, double* vals)
+{
+    FILE* f = std::fopen(path, "r");
+    if (!f) return -1;
+    char line[1024];
+    // skip banner + comments + size line
+    if (!std::fgets(line, sizeof line, f)) { std::fclose(f); return -2; }
+    while (std::fgets(line, sizeof line, f))
+        if (line[0] != '%') break;  // size line consumed
+    int64_t idx = 0;
+    for (int64_t i = 0; i < nnz_stored; i++) {
+        if (!std::fgets(line, sizeof line, f)) { std::fclose(f); return -6; }
+        char* p = line;
+        int64_t r = std::strtoll(p, &p, 10) - 1;
+        int64_t c = std::strtoll(p, &p, 10) - 1;
+        double v = (field == 2) ? 1.0 : std::strtod(p, &p);
+        rows[idx] = r; cols[idx] = c; vals[idx] = v;
+        idx++;
+        if (expand_symm && r != c) {
+            rows[idx] = c; cols[idx] = r; vals[idx] = v;
+            idx++;
+        }
+    }
+    std::fclose(f);
+    return idx;
+}
+
+}  // extern "C"

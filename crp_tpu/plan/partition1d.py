@@ -76,6 +76,12 @@ def csr_row_part_comm_size(
     nblk = rblk_ptr.shape[0] - 1
 
     nnz_bounds = rowptr[rblk_ptr].astype(np.int64)  # (nblk+1,) nnz offset of each block
+
+    from .. import native
+
+    res = native.comm_size(ncol, nnz_bounds, colidx, x_displs)
+    if res is not None:
+        return res
     counts = np.diff(nnz_bounds)
     blk_ids = np.repeat(np.arange(nblk, dtype=np.int64), counts)
     keys = blk_ids * np.int64(ncol) + colidx[nnz_bounds[0]:nnz_bounds[-1]].astype(np.int64)

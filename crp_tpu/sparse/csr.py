@@ -56,6 +56,13 @@ class CSRMatrix:
         row = np.asarray(row, dtype=np.int64)
         col = np.asarray(col, dtype=np.int64)
         val = np.asarray(val, dtype=dtype)
+        if np.dtype(dtype) == np.float64 and len(row) > 100_000:
+            from .. import native
+
+            res = native.coo2csr(nrow, ncol, row, col, val)
+            if res is not None:
+                rowptr, colidx, csrval = res
+                return cls(nrow, ncol, rowptr, colidx, csrval)
         order = np.lexsort((col, row))
         row, col, val = row[order], col[order], val[order]
         rowptr = np.zeros(nrow + 1, dtype=np.int64)

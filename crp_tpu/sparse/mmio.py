@@ -25,13 +25,21 @@ def mm_read_sparse(fname: str, need_symm: bool = False, dtype=np.float64) -> CSR
     ``need_symm`` mirrors the METIS drivers' requirement that the matrix be
     stored symmetric (``examples/mmio_utils.c:35-41``).
     """
-    import scipy.io
-
     with open(fname, "rb") as f:
         header = f.readline().decode("latin1").lower()
     is_symm = "symmetric" in header
     if need_symm and not is_symm:
         raise ValueError(f"{fname}: matrix is not symmetric")
+
+    from .. import native
+
+    res = native.mtx_read(fname)
+    if res is not None:
+        nrow, ncol, rows, cols, vals = res
+        return CSRMatrix.from_coo(nrow, ncol, rows, cols, vals, dtype=dtype)
+
+    import scipy.io
+
     mat = scipy.io.mmread(fname)  # COO, symmetric storage already expanded
     coo = mat.tocoo()
     return CSRMatrix.from_coo(

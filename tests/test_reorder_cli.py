@@ -1,0 +1,93 @@
+"""Reordering (sparse/reorder.py) and CLI driver tests."""
+
+import numpy as np
+import pytest
+
+from crp_tpu.sparse.reorder import rcm_reorder, permute_symmetric
+from crp_tpu.sparse.synth import banded_random_csr, powerlaw_random_csr, fill_b
+from crp_tpu.utils.norms import rel_fro_err
+
+
+def symmetrize(a):
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    s = (a.to_scipy() + a.to_scipy().T).tocsr()
+    return CSRMatrix.from_scipy(s)
+
+
+def test_permute_symmetric_preserves_spmm():
+    a = symmetrize(powerlaw_random_csr(200, avg_degree=6, seed=50))
+    perm = np.random.default_rng(0).permutation(200)
+    ap = permute_symmetric(a, perm)
+    b = np.asarray(fill_b(0, 200, 0, 8))
+    # A'[new] rows correspond to old rows perm[new]; B permuted likewise
+    c_perm = ap.spmm_ref(b[perm])
+    c_ref = a.spmm_ref(b)[perm]
+    np.testing.assert_allclose(c_perm, c_ref, rtol=1e-12)
+
+
+def test_rcm_reduces_bandwidth():
+    a = symmetrize(powerlaw_random_csr(400, avg_degree=3, seed=51))
+    ar, perm = rcm_reorder(a)
+    assert ar.bandwidth() <= a.bandwidth()
+    assert sorted(perm.tolist()) == list(range(400))
+
+
+def test_rcm_shrinks_planner_windows():
+    """The SC23 Fig. 7 effect: reordering shrinks planner comm cost on a
+    scrambled banded matrix."""
+    from crp_tpu.plan.planner2d import plan_from_csr
+
+    base = symmetrize(banded_random_csr(600, nnz_per_row=5, bandwidth=8, seed=52))
+    scramble = np.random.default_rng(1).permutation(600)
+    scrambled = permute_symmetric(base, scramble)
+    restored, _ = rcm_reorder(scrambled)
+    p_bad = plan_from_csr(scrambled, 64, 8)
+    p_good = plan_from_csr(restored, 64, 8)
+    assert p_good.comm_cost < p_bad.comm_cost
+
+
+def test_plan_cli(capsys):
+    from crp_tpu.cli.plan_cli import main
+
+    rc = main(["synth:banded:500:6:30", "64", "8", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Calculated 2D grid" in out
+    assert "1D row partitioning of A" in out
+
+
+def test_plan_cli_usage(capsys):
+    from crp_tpu.cli.plan_cli import main
+
+    assert main([]) == 255
+
+
+def test_bench_cli_rowpara(devices8, capsys):
+    from crp_tpu.cli.bench_cli import main
+
+    rc = main(["synth:banded:400:5:20", "8", "2", "0", "1",
+               "--engine=rowpara", "--dtype=float64", "--devices=4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "||C_ref - C||_f" in out
+    err = float(out.strip().splitlines()[-1].split("=")[-1])
+    assert err <= 1e-12
+
+
+def test_bench_cli_para2d(devices8, capsys):
+    from crp_tpu.cli.bench_cli import main
+
+    rc = main(["synth:banded:400:5:20", "8", "1", "0", "1",
+               "--engine=para2d", "--dtype=float64", "--devices=8"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "||C_ref - C||_f" in out
+
+
+def test_bench_cli_crp(devices8, capsys):
+    from crp_tpu.cli.bench_cli import main
+
+    rc = main(["synth:banded:400:25:20", "8", "1", "0", "1",
+               "--engine=crp", "--dtype=float64", "--devices=8"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Alltoallv B necessary" in out
