@@ -43,6 +43,7 @@ class BExchangePlan:
     self_src: np.ndarray      # (p, self_max) local B row; pad 0
     self_dst: np.ndarray      # (p, self_max) compact rB dst; pad rB_nrow_max (dropped)
     rowmap: list              # per-shard global-B-row -> compact index (np arrays)
+    pair_rows: list           # pair_rows[i][j] = sorted global B rows i recvs from j
 
     @property
     def total_recv_rows(self) -> int:
@@ -52,6 +53,11 @@ class BExchangePlan:
     def physical_rows(self) -> int:
         """Padded rows actually moved: p*p*S per all_to_all round."""
         return self.p * self.p * self.S
+
+    @property
+    def physical_rows_ring(self) -> int:
+        """Padded rows moved by the p2p ring: p-1 shifts of S rows per shard."""
+        return self.p * (self.p - 1) * self.S
 
 
 def build_b_exchange(
@@ -143,6 +149,7 @@ def build_b_exchange(
         self_src=self_src,
         self_dst=self_dst,
         rowmap=refs if reidx else [win_start[i] for i in range(p)],
+        pair_rows=recv_rows,
     )
 
 
@@ -174,4 +181,47 @@ def exchange_b(
     rB = rB.at[self_dst].set(
         jnp.take(b_loc, self_src, axis=0, fill_value=0), mode="drop"
     )
+    return rB
+
+
+def exchange_b_ring(
+    b_loc: jax.Array,        # (max_k, n) this shard's owned B rows (padded)
+    send_idx: jax.Array,     # (p, S) rows to send to each peer
+    recv_dst: jax.Array,     # (p, S) compact destinations for rows from each peer
+    self_src: jax.Array,     # (self_max,)
+    self_dst: jax.Array,     # (self_max,)
+    rB_nrow_max: int,
+    axis_name: str,
+) -> jax.Array:
+    """p2p-ring exchange: one distance-``s`` ``ppermute`` per shift.
+
+    The TPU counterpart of the reference's nonblocking p2p ring
+    (``RP_SPMM_P2P=1``, ``src/rowpara_spmm.c:275-303``): at shift ``s`` every
+    shard sends its planned rows directly to the peer ``s`` ranks ahead and
+    receives from the peer ``s`` ranks behind.  The shifts are unrolled and
+    mutually independent, so XLA issues the collective-permutes
+    asynchronously and the scatters overlap the later transfers.  Physical
+    volume is ``(p-1) * S`` rows per shard (vs ``p * S`` for all_to_all).
+    """
+    p, S = send_idx.shape
+    me = jax.lax.axis_index(axis_name)
+    rB = jnp.zeros((rB_nrow_max, b_loc.shape[1]), dtype=b_loc.dtype)
+    # padded dst slots alias the plan's rB_nrow_max row: dropped when rB has
+    # exactly that many rows, else land on a row no real A column references
+    rB = rB.at[self_dst].set(
+        jnp.take(b_loc, self_src, axis=0, fill_value=0), mode="drop"
+    )
+    for s in range(1, p):
+        dst = (me + s) % p
+        src = (me - s) % p
+        sendbuf = jnp.take(
+            b_loc, jnp.take(send_idx, dst, axis=0, fill_value=0), axis=0,
+            fill_value=0,
+        )
+        recvbuf = jax.lax.ppermute(
+            sendbuf, axis_name, [(i, (i + s) % p) for i in range(p)]
+        )
+        rB = rB.at[jnp.take(recv_dst, src, axis=0, fill_value=rB_nrow_max)].set(
+            recvbuf, mode="drop"
+        )
     return rB

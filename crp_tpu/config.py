@@ -79,6 +79,13 @@ class SpmmConfig:
     kernel:
         Local SpMM kernel: "auto" | "jnp" (gather + segment-sum, runs
         everywhere) | "pallas" (MXU windowed-ELL kernel, TPU only).
+    overlap:
+        Overlap the B-row exchange with compute (TPU-only design, no
+        reference equivalent — SURVEY.md section 7 calls this out as new):
+        the self part of A (owner == this shard) multiplies the owned B
+        block concurrently with the ring transfers, and each shift's
+        arriving rows feed a partial SpMM immediately.  Implies the ring
+        schedule; ``rb_p2p`` is ignored when set.
     """
 
     rb_p2p: int = 1
@@ -86,6 +93,7 @@ class SpmmConfig:
     a2a_b_finegrain: int = 0
     dtype: str = "float32"
     kernel: str = "auto"
+    overlap: int = 0
 
     @classmethod
     def from_env(cls) -> "SpmmConfig":
@@ -97,4 +105,5 @@ class SpmmConfig:
             ),
             dtype=os.environ.get("CRP_TPU_DTYPE", "float32"),
             kernel=os.environ.get("CRP_TPU_KERNEL", "auto"),
+            overlap=get_env_int("CRP_TPU_OVERLAP", 0, 0, 1, var_name="overlap"),
         )

@@ -28,7 +28,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import SpmmConfig
-from ..comm.exchange import build_b_exchange, exchange_b
+from ..comm.exchange import build_b_exchange, exchange_b, exchange_b_ring
+from ..comm.ring import build_ring_spmm, ring_spmm
 from ..kernels.dispatch import pack_local_kernel
 from ..plan.planner2d import Plan2D, NNZ_COST_FACTOR
 from ..shard.layout import make_mesh_2d
@@ -75,23 +76,9 @@ class Para2dSpmm:
         self.xplan = build_b_exchange(
             [p_.colidx for p_ in panels], plan.B_rowptr, reidx=reidx
         )
-
-        shards_compact = []
-        for i, s in enumerate(panels):
-            if reidx:
-                cc = np.searchsorted(self.xplan.rowmap[i], s.colidx).astype(np.int32)
-            else:
-                cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
-            shards_compact.append((s.rowptr, cc, s.val))
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
-        arrays, self._local_fn = pack_local_kernel(
-            shards_compact, self.max_m, self.dtype, kind
-        )
-        # the pallas windowed kernel needs rB padded so window DMAs stay
-        # in-bounds; extra rows only ever meet zero A-tile columns
-        self._rb_rows = max(
-            self.xplan.rB_nrow_max, getattr(self._local_fn, "min_b_rows", 1), 1
-        )
+        self.overlap = bool(self.config.overlap)
+        self.max_k = int(max(np.diff(plan.B_rowptr).max(), 1))
 
         # P('pm', None, ...): replicated along pn — the all-gather-A equivalent
         def put_pm(a):
@@ -99,16 +86,49 @@ class Para2dSpmm:
                 a, NamedSharding(self.mesh, P("pm", *([None] * (a.ndim - 1))))
             )
 
-        self.d_kernel = tuple(put_pm(a) for a in arrays)
-        self._kernel_specs = tuple(
-            P("pm", *([None] * (a.ndim - 1))) for a in arrays
-        )
-        self.d_send_idx = put_pm(self.xplan.send_idx)
-        self.d_recv_dst = put_pm(self.xplan.recv_dst)
-        self.d_self_src = put_pm(self.xplan.self_src)
-        self.d_self_dst = put_pm(self.xplan.self_dst)
-
-        self.max_k = int(max(np.diff(plan.B_rowptr).max(), 1))
+        if self.overlap:
+            self.ring = build_ring_spmm(
+                panels, self.xplan, plan.B_rowptr, self.max_m, self.dtype, kind
+            )
+            self.d_kernel = tuple(put_pm(a) for a in self.ring.self_arrays)
+            self._kernel_specs = tuple(
+                P("pm", *([None] * (a.ndim - 1)))
+                for a in self.ring.self_arrays
+            )
+            self.d_step = tuple(
+                put_pm(a) for a in
+                (self.ring.step_rows, self.ring.step_cols, self.ring.step_vals)
+            )
+            self.d_send_idx = put_pm(self.xplan.send_idx)
+            # the self-part pallas kernel DMAs windows out of b_loc directly
+            self.max_k = max(self.max_k, self.ring.min_b_rows)
+        else:
+            shards_compact = []
+            for i, s in enumerate(panels):
+                if reidx:
+                    cc = np.searchsorted(
+                        self.xplan.rowmap[i], s.colidx
+                    ).astype(np.int32)
+                else:
+                    cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
+                shards_compact.append((s.rowptr, cc, s.val))
+            arrays, self._local_fn = pack_local_kernel(
+                shards_compact, self.max_m, self.dtype, kind
+            )
+            # the pallas windowed kernel needs rB padded so window DMAs stay
+            # in-bounds; extra rows only ever meet zero A-tile columns
+            self._rb_rows = max(
+                self.xplan.rB_nrow_max,
+                getattr(self._local_fn, "min_b_rows", 1), 1,
+            )
+            self.d_kernel = tuple(put_pm(a) for a in arrays)
+            self._kernel_specs = tuple(
+                P("pm", *([None] * (a.ndim - 1))) for a in arrays
+            )
+            self.d_send_idx = put_pm(self.xplan.send_idx)
+            self.d_recv_dst = put_pm(self.xplan.recv_dst)
+            self.d_self_src = put_pm(self.xplan.self_src)
+            self.d_self_dst = put_pm(self.xplan.self_dst)
         self.max_nloc = int(max(np.diff(plan.BC_colptr).max(), 1))
         self.b_sharding = NamedSharding(self.mesh, P("pm", "pn", None, None))
         self._exec_jit = self._make_exec()
@@ -121,29 +141,52 @@ class Para2dSpmm:
         self.rB_recv_size = int(self.xplan.total_recv_rows)  # rows, x n when printed
 
     def _make_exec(self):
-        rB_nrow_max = self._rb_rows
-        local_fn = self._local_fn
         nk = len(self.d_kernel)
-
-        def local(*args):
-            # block shapes: (1, ..) over pm for A/plan; (1, 1, max_k, nloc) for B
-            kernel = tuple(a[0] for a in args[:nk])
-            send_idx, recv_dst, self_src, self_dst, b_loc = args[nk:]
-            rB = exchange_b(
-                b_loc[0, 0], send_idx[0], recv_dst[0], self_src[0], self_dst[0],
-                rB_nrow_max, "pm",
-            )
-            return local_fn(kernel, rB)[None, None]
-
         pmspec = P("pm", None)
+        bspec = P("pm", "pn", None, None)
+
+        if self.overlap:
+            self_fn = self.ring.self_fn
+            max_m = self.max_m
+
+            def local(*args):
+                kernel = tuple(a[0] for a in args[:nk])
+                step_rows, step_cols, step_vals, send_idx, b_loc = args[nk:]
+                c = ring_spmm(
+                    b_loc[0, 0], send_idx[0], kernel, self_fn,
+                    step_rows[0], step_cols[0], step_vals[0], max_m, "pm",
+                )
+                return c[None, None]
+
+            in_specs = self._kernel_specs + (
+                P("pm", None, None), P("pm", None, None), P("pm", None, None),
+                P("pm", None, None), bspec,
+            )
+        else:
+            rB_nrow_max = self._rb_rows
+            local_fn = self._local_fn
+            xch_fn = exchange_b_ring if self.config.rb_p2p else exchange_b
+
+            def local(*args):
+                # block shapes: (1, ..) over pm for A/plan; (1, 1, k, n) for B
+                kernel = tuple(a[0] for a in args[:nk])
+                send_idx, recv_dst, self_src, self_dst, b_loc = args[nk:]
+                rB = xch_fn(
+                    b_loc[0, 0], send_idx[0], recv_dst[0], self_src[0],
+                    self_dst[0], rB_nrow_max, "pm",
+                )
+                return local_fn(kernel, rB)[None, None]
+
+            in_specs = self._kernel_specs + (
+                P("pm", None, None), P("pm", None, None), pmspec, pmspec,
+                bspec,
+            )
+
         fn = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=self._kernel_specs + (
-                P("pm", None, None), P("pm", None, None), pmspec, pmspec,
-                P("pm", "pn", None, None),
-            ),
-            out_specs=P("pm", "pn", None, None),
+            in_specs=in_specs,
+            out_specs=bspec,
             check_vma=False,
         )
         return jax.jit(fn)
@@ -174,6 +217,10 @@ class Para2dSpmm:
         return out
 
     def exec_device(self, b_shards: jax.Array) -> jax.Array:
+        if self.overlap:
+            return self._exec_jit(
+                *self.d_kernel, *self.d_step, self.d_send_idx, b_shards
+            )
         return self._exec_jit(
             *self.d_kernel,
             self.d_send_idx, self.d_recv_dst, self.d_self_src, self.d_self_dst,
@@ -202,7 +249,11 @@ class Para2dSpmm:
             timer=self.timer,
             comm_rows=self.rB_recv_size,
             glb_n=self.glb_n,
-            physical_rows=self.xplan.physical_rows * self.pn,
+            physical_rows=(
+                self.xplan.physical_rows_ring
+                if (self.overlap or self.config.rb_p2p)
+                else self.xplan.physical_rows
+            ) * self.pn,
         )
         head = [
             f"Total comm size for replicating A = {self.rA_cost}",

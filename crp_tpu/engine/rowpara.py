@@ -26,7 +26,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import SpmmConfig
-from ..comm.exchange import build_b_exchange, exchange_b
+from ..comm.exchange import build_b_exchange, exchange_b, exchange_b_ring
+from ..comm.ring import build_ring_spmm, ring_spmm
 from ..kernels.dispatch import pack_local_kernel
 from ..shard.layout import make_mesh_1d, shard_dense_rows, stack_padded, unshard_dense_rows
 from ..utils.timers import Timer
@@ -77,42 +78,63 @@ class RowParaSpmm:
         self.xplan = build_b_exchange(
             [s.colidx for s in shards], self.B_row_displs, reidx=reidx
         )
-
-        # compact local column indices into the rB coordinate space
-        shards_compact = []
-        for i, s in enumerate(shards):
-            if reidx:
-                cc = np.searchsorted(self.xplan.rowmap[i], s.colidx).astype(np.int32)
-            else:
-                cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
-            shards_compact.append((s.rowptr, cc, s.val))
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
-        arrays, self._local_fn = pack_local_kernel(
-            shards_compact, self.max_m, self.dtype, kind
-        )
-        # the pallas windowed kernel needs rB padded so window DMAs stay
-        # in-bounds; extra rows only ever meet zero A-tile columns
-        self._rb_rows = max(
-            self.xplan.rB_nrow_max, getattr(self._local_fn, "min_b_rows", 1), 1
-        )
+        self.overlap = bool(self.config.overlap)
 
         sharding = NamedSharding(self.mesh, P(self.axis))
         put = functools.partial(jax.device_put, device=sharding)
-        self.d_kernel = tuple(put(a) for a in arrays)
-        self._kernel_specs = tuple(
-            P(self.axis, *([None] * (a.ndim - 1))) for a in arrays
-        )
-        self.d_send_idx = put(self.xplan.send_idx)
-        self.d_recv_dst = put(self.xplan.recv_dst)
-        self.d_self_src = put(self.xplan.self_src)
-        self.d_self_dst = put(self.xplan.self_dst)
+        self.max_k = int(max(np.diff(self.B_row_displs).max(), 1))
 
-        self.max_k = int(
-            max(np.diff(self.B_row_displs).max(), 1)
-        )
+        if self.overlap:
+            self.ring = build_ring_spmm(
+                shards, self.xplan, self.B_row_displs, self.max_m,
+                self.dtype, kind,
+            )
+            self.d_kernel = tuple(put(a) for a in self.ring.self_arrays)
+            self._kernel_specs = tuple(
+                P(self.axis, *([None] * (a.ndim - 1)))
+                for a in self.ring.self_arrays
+            )
+            self.d_step = tuple(
+                put(a) for a in
+                (self.ring.step_rows, self.ring.step_cols, self.ring.step_vals)
+            )
+            self.d_send_idx = put(self.xplan.send_idx)
+            # the self-part pallas kernel DMAs windows out of b_loc directly
+            self.max_k = max(self.max_k, self.ring.min_b_rows)
+        else:
+            # compact local column indices into the rB coordinate space
+            shards_compact = []
+            for i, s in enumerate(shards):
+                if reidx:
+                    cc = np.searchsorted(
+                        self.xplan.rowmap[i], s.colidx
+                    ).astype(np.int32)
+                else:
+                    cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
+                shards_compact.append((s.rowptr, cc, s.val))
+            arrays, self._local_fn = pack_local_kernel(
+                shards_compact, self.max_m, self.dtype, kind
+            )
+            # the pallas windowed kernel needs rB padded so window DMAs stay
+            # in-bounds; extra rows only ever meet zero A-tile columns
+            self._rb_rows = max(
+                self.xplan.rB_nrow_max,
+                getattr(self._local_fn, "min_b_rows", 1), 1,
+            )
+            self.d_kernel = tuple(put(a) for a in arrays)
+            self._kernel_specs = tuple(
+                P(self.axis, *([None] * (a.ndim - 1))) for a in arrays
+            )
+            self.d_send_idx = put(self.xplan.send_idx)
+            self.d_recv_dst = put(self.xplan.recv_dst)
+            self.d_self_src = put(self.xplan.self_src)
+            self.d_self_dst = put(self.xplan.self_dst)
+
         self.b_sharding = NamedSharding(self.mesh, P(self.axis, None, None))
         self._exec_jit = self._make_exec()
-        self._exchange_jit, self._spmm_jit = self._make_staged()
+        if not self.overlap:
+            self._exchange_jit, self._spmm_jit = self._make_staged()
 
         # audit (reference: rB_recv_size, src/rowpara_spmm.c:149)
         self.rB_recv_rows = self.xplan.rB_recv_rows
@@ -127,24 +149,46 @@ class RowParaSpmm:
 
     def _make_exec(self):
         specs = self._shard_specs()
-        rB_nrow_max = self._rb_rows
         axis = self.axis
-        local_fn = self._local_fn
         nk = len(self.d_kernel)
 
-        def local(*args):
-            kernel = tuple(a[0] for a in args[:nk])
-            send_idx, recv_dst, self_src, self_dst, b_loc = args[nk:]
-            rB = exchange_b(
-                b_loc[0], send_idx[0], recv_dst[0], self_src[0], self_dst[0],
-                rB_nrow_max, axis,
+        if self.overlap:
+            self_fn = self.ring.self_fn
+            max_m = self.max_m
+
+            def local(*args):
+                kernel = tuple(a[0] for a in args[:nk])
+                step_rows, step_cols, step_vals, send_idx, b_loc = args[nk:]
+                c = ring_spmm(
+                    b_loc[0], send_idx[0], kernel, self_fn,
+                    step_rows[0], step_cols[0], step_vals[0], max_m, axis,
+                )
+                return c[None]
+
+            in_specs = self._kernel_specs + (
+                P(axis, None, None), P(axis, None, None), P(axis, None, None),
+                P(axis, None, None), specs["b"],
             )
-            return local_fn(kernel, rB)[None]
+        else:
+            rB_nrow_max = self._rb_rows
+            local_fn = self._local_fn
+            xch_fn = exchange_b_ring if self.config.rb_p2p else exchange_b
+
+            def local(*args):
+                kernel = tuple(a[0] for a in args[:nk])
+                send_idx, recv_dst, self_src, self_dst, b_loc = args[nk:]
+                rB = xch_fn(
+                    b_loc[0], send_idx[0], recv_dst[0], self_src[0],
+                    self_dst[0], rB_nrow_max, axis,
+                )
+                return local_fn(kernel, rB)[None]
+
+            in_specs = self._kernel_specs + specs["xch"] + (specs["b"],)
 
         fn = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=self._kernel_specs + specs["xch"] + (specs["b"],),
+            in_specs=in_specs,
             out_specs=specs["b"],
             check_vma=False,
         )
@@ -157,8 +201,10 @@ class RowParaSpmm:
         axis = self.axis
         local_fn = self._local_fn
 
+        xch_impl = exchange_b_ring if self.config.rb_p2p else exchange_b
+
         def xch(send_idx, recv_dst, self_src, self_dst, b_loc):
-            return exchange_b(
+            return xch_impl(
                 b_loc[0], send_idx[0], recv_dst[0], self_src[0], self_dst[0],
                 rB_nrow_max, axis,
             )[None]
@@ -199,6 +245,10 @@ class RowParaSpmm:
 
     def exec_device(self, b_shards: jax.Array) -> jax.Array:
         """Fused exchange + SpMM on pre-sharded B; returns (p, max_m, n) shards."""
+        if self.overlap:
+            return self._exec_jit(
+                *self.d_kernel, *self.d_step, self.d_send_idx, b_shards
+            )
         return self._exec_jit(
             *self.d_kernel,
             self.d_send_idx, self.d_recv_dst, self.d_self_src, self.d_self_dst,
@@ -219,8 +269,18 @@ class RowParaSpmm:
         return out
 
     def exec_timed(self, b_shards: jax.Array) -> jax.Array:
-        """Staged exec with per-phase fences (reference stat table parity)."""
+        """Staged exec with per-phase fences (reference stat table parity).
+
+        Overlap mode fuses exchange and compute by design, so its phases are
+        not separable — it is timed as one "exec" phase.
+        """
         t = self.timer
+        if self.overlap:
+            c = self.exec_device(b_shards)
+            with t.phase("exec", fence=c):
+                pass
+            t.n_exec += 1
+            return c
         with t.phase("a2a"):
             rB = self._exchange_jit(
                 self.d_send_idx, self.d_recv_dst, self.d_self_src, self.d_self_dst,
@@ -237,13 +297,17 @@ class RowParaSpmm:
     def print_stat(self) -> str:
         """Stat table in the spirit of ``rp_spmm_print_stat``
         (``src/rowpara_spmm.c:425-464``)."""
+        ring = self.overlap or bool(self.config.rb_p2p)
         return format_stat_table(
             title="rp_spmm",
             t_init=self.t_init,
             timer=self.timer,
             comm_rows=self.rB_recv_size,
             glb_n=self.glb_n,
-            physical_rows=self.xplan.physical_rows,
+            physical_rows=(
+                self.xplan.physical_rows_ring if ring
+                else self.xplan.physical_rows
+            ),
         )
 
     def clear_stat(self) -> None:

@@ -6,14 +6,14 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from crp_tpu.comm.exchange import build_b_exchange, exchange_b
+from crp_tpu.comm.exchange import build_b_exchange, exchange_b, exchange_b_ring
 from crp_tpu.plan.partition1d import csr_row_partition
 from crp_tpu.sparse.synth import banded_random_csr, powerlaw_random_csr, fill_b
 from crp_tpu.shard.layout import make_mesh_1d, shard_dense_rows
 from crp_tpu.utils.blocks import uniform_displs
 
 
-def run_exchange(a, p, n, reidx, devices8):
+def run_exchange(a, p, n, reidx, devices8, impl=exchange_b):
     """Drive exchange_b under shard_map; return per-shard receive buffers."""
     displs = csr_row_partition(a.rowptr, p)
     b_displs = uniform_displs(a.ncol, p)
@@ -27,7 +27,7 @@ def run_exchange(a, p, n, reidx, devices8):
     sh = NamedSharding(mesh, P("pm"))
 
     def local(send_idx, recv_dst, self_src, self_dst, b_loc):
-        return exchange_b(
+        return impl(
             b_loc[0], send_idx[0], recv_dst[0], self_src[0], self_dst[0],
             max(plan.rB_nrow_max, 1), "pm",
         )[None]
@@ -78,6 +78,22 @@ def test_exchange_logical_volume_matches_exact_count(devices8):
     )
     np.testing.assert_array_equal(plan.rB_recv_rows, sizes)
     assert plan.total_recv_rows == total
+
+
+@pytest.mark.parametrize("reidx", [True, False])
+@pytest.mark.parametrize("p", [2, 3, 8])
+def test_ring_matches_all_to_all(p, reidx, devices8):
+    """The p2p ring (RP_SPMM_P2P=1 analog) delivers the same buffer as the
+    single all_to_all for every shift pattern, including non-power-of-two p."""
+    a = powerlaw_random_csr(500, avg_degree=9, seed=14)
+    _, _, _, out_a2a = run_exchange(a, p, 10, reidx, devices8, impl=exchange_b)
+    plan, _, _, out_ring = run_exchange(
+        a, p, 10, reidx, devices8, impl=exchange_b_ring
+    )
+    for i in range(p):
+        rows = int(plan.rB_nrow[i])
+        np.testing.assert_array_equal(out_ring[i, :rows], out_a2a[i, :rows])
+    assert plan.physical_rows_ring == p * (p - 1) * plan.S
 
 
 def test_exchange_single_shard(devices8):

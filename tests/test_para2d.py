@@ -41,6 +41,21 @@ def test_para2d_grids(pm, pn, devices8):
     assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
 
 
+@pytest.mark.parametrize("mode", [dict(rb_p2p=1), dict(overlap=1)])
+def test_para2d_ring_and_overlap(mode, devices8):
+    """Ring exchange and overlapped exec on a pm x pn grid (exchange along
+    pm inside each of the pn column groups)."""
+    from crp_tpu.config import SpmmConfig
+
+    a = banded_random_csr(400, nnz_per_row=7, bandwidth=45, seed=33)
+    n = 20
+    plan = force_plan(a, n, 4, 2)
+    mesh = make_mesh_2d(4, 2, devices=devices8)
+    eng = Para2dSpmm(a, plan, mesh=mesh, config=SpmmConfig(**mode))
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
 def test_para2d_planner_chosen_grid(devices8):
     """Use the actual planner decision end-to-end (flagship path,
     SURVEY.md section 3.1)."""

@@ -17,12 +17,12 @@ from crp_tpu.utils.blocks import uniform_displs
 from crp_tpu.utils.norms import rel_fro_err
 
 
-def build_engine(a, p, n, devices8, reidx=1, b_displs=None):
+def build_engine(a, p, n, devices8, reidx=1, b_displs=None, **cfg_kw):
     displs = csr_row_partition(a.rowptr, p)
     if b_displs is None:
         b_displs = displs if a.nrow == a.ncol else uniform_displs(a.ncol, p)
     mesh = make_mesh_1d(p, devices=devices8)
-    cfg = SpmmConfig(rb_reidx=reidx)
+    cfg = SpmmConfig(rb_reidx=reidx, **cfg_kw)
     return RowParaSpmm(a, displs, b_displs, n, mesh=mesh, config=cfg)
 
 
@@ -38,6 +38,32 @@ def test_rowpara_matches_reference(p, gen, kw, devices8):
     b = np.asarray(fill_b(0, a.ncol, 0, n))
     c = eng.exec(b)
     assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
+@pytest.mark.parametrize("mode", [
+    dict(rb_p2p=0),                       # single padded all_to_all
+    dict(rb_p2p=1),                       # ppermute p2p ring
+    dict(overlap=1),                      # fused ring + partial compute
+    dict(overlap=1, kernel="pallas"),     # self part on the windowed kernel
+])
+@pytest.mark.parametrize("p", [3, 8])
+def test_rowpara_exchange_modes(p, mode, devices8):
+    """All exchange schedules (RP_SPMM_P2P analogs + the TPU overlap design)
+    produce the identical <=1e-12 result, including non-power-of-two p."""
+    a = banded_random_csr(450, nnz_per_row=7, bandwidth=60, seed=28)
+    n = 16
+    eng = build_engine(a, p, n, devices8, **mode)
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_rowpara_overlap_powerlaw(devices8):
+    """Overlap mode on a hub-heavy pattern (self part falls back to segsum
+    when the windowed kernel rejects the shard)."""
+    a = powerlaw_random_csr(500, avg_degree=9, seed=29)
+    eng = build_engine(a, 8, 12, devices8, overlap=1)
+    b = np.asarray(fill_b(0, a.ncol, 0, 12))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
 
 
 def test_rowpara_no_reidx(devices8):
