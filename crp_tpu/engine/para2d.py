@@ -78,6 +78,12 @@ class Para2dSpmm:
         )
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
         self.overlap = bool(self.config.overlap)
+        self.is_dd = kind == "dd"
+        if self.is_dd and self.overlap:
+            raise ValueError(
+                "kernel='dd' is incompatible with overlap=1: the per-shift "
+                "partial SpMM is plain fp32 and would lose the dd accuracy"
+            )
         self.max_k = int(max(np.diff(plan.B_rowptr).max(), 1))
 
         # P('pm', None, ...): replicated along pn — the all-gather-A equivalent
@@ -193,27 +199,53 @@ class Para2dSpmm:
 
     # ------------------------------------------------------------------ exec
     def shard_b(self, b: np.ndarray) -> jax.Array:
-        """Global (k, n) -> (pm, pn, max_k, max_nloc) padded 2D blocks."""
+        """Global (k, n) -> (pm, pn, max_k, max_nloc) padded 2D blocks.
+
+        With the dd kernel each block is split hi/lo into the fixed halves
+        of a doubled-width slab ([.., :max_nloc] = hi, [.., max_nloc:] = lo)
+        so the kernel's midpoint split stays aligned for narrow blocks.
+        """
         plan = self.plan
-        out = np.zeros(
-            (self.pm, self.pn, self.max_k, self.max_nloc), dtype=self.dtype
-        )
+        w = 2 * self.max_nloc if self.is_dd else self.max_nloc
+        dt = np.float32 if self.is_dd else self.dtype
+        out = np.zeros((self.pm, self.pn, self.max_k, w), dtype=dt)
+        if self.is_dd:
+            from ..kernels.spmm_dd import split_f64
+
+            bhi, blo = split_f64(np.asarray(b, dtype=np.float64))
         for i in range(self.pm):
             r0, r1 = int(plan.B_rowptr[i]), int(plan.B_rowptr[i + 1])
             for j in range(self.pn):
                 c0, c1 = int(plan.BC_colptr[j]), int(plan.BC_colptr[j + 1])
-                out[i, j, : r1 - r0, : c1 - c0] = b[r0:r1, c0:c1]
+                if self.is_dd:
+                    out[i, j, : r1 - r0, : c1 - c0] = bhi[r0:r1, c0:c1]
+                    out[i, j, : r1 - r0,
+                        self.max_nloc : self.max_nloc + c1 - c0] = (
+                        blo[r0:r1, c0:c1]
+                    )
+                else:
+                    out[i, j, : r1 - r0, : c1 - c0] = b[r0:r1, c0:c1]
         return jax.device_put(out, self.b_sharding)
 
     def unshard_c(self, c_shards) -> np.ndarray:
         plan = self.plan
         c_shards = np.asarray(c_shards)
-        out = np.zeros((plan.m, plan.n), dtype=c_shards.dtype)
+        dt = np.float64 if self.is_dd else c_shards.dtype
+        out = np.zeros((plan.m, plan.n), dtype=dt)
         for i in range(self.pm):
             r0, r1 = int(plan.AC_rowptr[i]), int(plan.AC_rowptr[i + 1])
             for j in range(self.pn):
                 c0, c1 = int(plan.BC_colptr[j]), int(plan.BC_colptr[j + 1])
-                out[r0:r1, c0:c1] = c_shards[i, j, : r1 - r0, : c1 - c0]
+                blk = c_shards[i, j]
+                if self.is_dd:
+                    out[r0:r1, c0:c1] = (
+                        blk[: r1 - r0, : c1 - c0].astype(np.float64)
+                        + blk[: r1 - r0,
+                              self.max_nloc : self.max_nloc + c1 - c0
+                              ].astype(np.float64)
+                    )
+                else:
+                    out[r0:r1, c0:c1] = blk[: r1 - r0, : c1 - c0]
         return out
 
     def exec_device(self, b_shards: jax.Array) -> jax.Array:

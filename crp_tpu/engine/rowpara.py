@@ -80,6 +80,12 @@ class RowParaSpmm:
         )
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
         self.overlap = bool(self.config.overlap)
+        self.is_dd = kind == "dd"
+        if self.is_dd and self.overlap:
+            raise ValueError(
+                "kernel='dd' is incompatible with overlap=1: the per-shift "
+                "partial SpMM is plain fp32 and would lose the dd accuracy"
+            )
 
         sharding = NamedSharding(self.mesh, P(self.axis))
         put = functools.partial(jax.device_put, device=sharding)
@@ -227,14 +233,26 @@ class RowParaSpmm:
 
     # ------------------------------------------------------------------ exec
     def shard_b(self, b: np.ndarray) -> jax.Array:
-        """Global (k, n) host B -> device-stacked padded shards (p, max_k, n)."""
-        bs = shard_dense_rows(
-            np.asarray(b, dtype=self.dtype), self.B_row_displs, pad_rows=self.max_k
-        )
+        """Global (k, n) host B -> device-stacked padded shards (p, max_k, n).
+
+        With the dd kernel, B is split hi/lo and packed as (k, 2n) fp32
+        before sharding; the exchange layer moves rows unchanged.
+        """
+        if self.is_dd:
+            from ..kernels.spmm_dd import pack_b_dd
+
+            b = pack_b_dd(np.asarray(b, dtype=np.float64))
+        else:
+            b = np.asarray(b, dtype=self.dtype)
+        bs = shard_dense_rows(b, self.B_row_displs, pad_rows=self.max_k)
         return jax.device_put(bs, self.b_sharding)
 
     def unshard_c(self, c_shards) -> np.ndarray:
         c = unshard_dense_rows(np.asarray(c_shards), self.A_row_displs)
+        if self.is_dd:
+            from ..kernels.spmm_dd import unpack_c_dd
+
+            c = unpack_c_dd(c)
         if c.shape[0] < self.glb_m:
             # rows past the last nnz-balanced block are empty A rows (the
             # reference's binary search leaves trailing all-zero rows out of

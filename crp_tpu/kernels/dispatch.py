@@ -9,6 +9,8 @@ Kinds:
   * "segsum" — gather + sorted segment-sum (default; exact everywhere)
   * "ell"    — ELL slot scan (bounded-nnz/row matrices; O(m*n) memory)
   * "pallas" — MXU windowed-ELL Pallas kernel (TPU)
+  * "dd"     — double-float (two-fp32) ELL kernel: fp64-class accuracy on
+               TPU hardware; B/C travel packed as (rows, 2n) fp32
 """
 
 from __future__ import annotations
@@ -63,6 +65,23 @@ def pack_local_kernel(
 
     if kind == "pallas":
         return _pack_pallas(shards, max_m, dtype)
+
+    if kind == "dd":
+        from .spmm_dd import pack_coo_dd, spmm_segsum_dd
+
+        nnz_pad = max(max(int(r[-1] - r[0]) for r, _, _ in shards), 0) + 1
+        packs = [
+            pack_coo_dd(rowptr, cc, np.asarray(v, np.float64), nnz_pad, max_m)
+            for rowptr, cc, v in shards
+        ]
+        arrays = tuple(
+            np.stack([p[i] for p in packs]) for i in range(5)
+        )  # row_ids, cols, val_hi, val_lo, row_last
+
+        def local_fn(arrs, rB_packed):
+            return spmm_segsum_dd(*arrs, rB_packed)
+
+        return arrays, local_fn
 
     raise ValueError(f"unknown local SpMM kernel kind {kind!r}")
 

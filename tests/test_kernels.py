@@ -102,3 +102,51 @@ def test_pallas_pack_rejects_wide_windows():
     a = powerlaw_random_csr(3000, avg_degree=5, seed=29)
     with pytest.raises(UnsupportedSparsity):
         pack_window_dense(a.rowptr, a.colidx, a.val, a.ncol, max_window=256)
+
+
+def test_dd_ell_kernel_fp64_class_accuracy():
+    """Double-float ELL kernel (bounded row degree): <=1e-12 vs the fp64
+    reference using only fp32 device arithmetic (TPU fp64-parity,
+    SURVEY.md section 7)."""
+    import jax
+    from crp_tpu.kernels.spmm_dd import (
+        pack_ell_dd, pack_b_dd, unpack_c_dd, spmm_ell_dd,
+    )
+
+    a = banded_random_csr(1500, nnz_per_row=9, bandwidth=60, seed=36)
+    b = np.asarray(fill_b(0, a.ncol, 0, 32))
+    cols, vh, vl = pack_ell_dd(a.rowptr, a.colidx, a.val, a.nrow)
+    cp = jax.jit(spmm_ell_dd)(cols, vh, vl, pack_b_dd(b))
+    assert cp.dtype == np.float32
+    c = unpack_c_dd(np.asarray(cp))
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
+def test_dd_segsum_kernel_fp64_class_accuracy():
+    """Segmented-scan double-float kernel: degree-independent compile,
+    handles hub rows and empty rows."""
+    import jax
+    from crp_tpu.kernels.spmm_dd import (
+        pack_coo_dd, pack_b_dd, unpack_c_dd, spmm_segsum_dd,
+    )
+
+    for gen, kw in [
+        (banded_random_csr, dict(nnz_per_row=9, bandwidth=60)),
+        (powerlaw_random_csr, dict(avg_degree=12)),
+    ]:
+        a = gen(1500, seed=36, **kw)
+        b = np.asarray(fill_b(0, a.ncol, 0, 32))
+        arrs = pack_coo_dd(a.rowptr, a.colidx, a.val, a.nnz + 1, a.nrow)
+        cp = jax.jit(spmm_segsum_dd)(*arrs, pack_b_dd(b))
+        assert cp.dtype == np.float32
+        c = unpack_c_dd(np.asarray(cp))
+        assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
+def test_dd_split_roundtrip():
+    from crp_tpu.kernels.spmm_dd import split_f64
+
+    x = np.random.default_rng(1).uniform(-1e3, 1e3, 4096)
+    hi, lo = split_f64(x)
+    err = np.abs(hi.astype(np.float64) + lo.astype(np.float64) - x)
+    assert (err / np.abs(x)).max() <= 2 ** -45

@@ -56,6 +56,22 @@ def test_para2d_ring_and_overlap(mode, devices8):
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
 
 
+def test_para2d_dd_kernel(devices8):
+    """Double-float kernel on a 2D grid: fp32 device arrays, fp64-class
+    result, including narrow (padded) column slabs."""
+    from crp_tpu.config import SpmmConfig
+
+    a = banded_random_csr(400, nnz_per_row=7, bandwidth=40, seed=37)
+    n = 13  # not divisible by pn -> narrow last slab exercises the hi/lo halves
+    plan = force_plan(a, n, 2, 4)
+    mesh = make_mesh_2d(2, 4, devices=devices8)
+    eng = Para2dSpmm(a, plan, mesh=mesh, config=SpmmConfig(kernel="dd"))
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    c = eng.exec(b)
+    assert c.dtype == np.float64
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
 def test_para2d_planner_chosen_grid(devices8):
     """Use the actual planner decision end-to-end (flagship path,
     SURVEY.md section 3.1)."""

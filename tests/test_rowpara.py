@@ -66,6 +66,29 @@ def test_rowpara_overlap_powerlaw(devices8):
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
 
 
+@pytest.mark.parametrize("p", [1, 4])
+def test_rowpara_dd_kernel_fp32_hardware(p, devices8):
+    """The double-float kernel reaches the reference's <=1e-12 acceptance
+    with fp32-only device arithmetic (the TPU fp64-parity path)."""
+    import jax
+
+    a = banded_random_csr(400, nnz_per_row=7, bandwidth=40, seed=34)
+    n = 12
+    eng = build_engine(a, p, n, devices8, kernel="dd")
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    bs = eng.shard_b(b)
+    assert bs.dtype == np.float32 and bs.shape[-1] == 2 * n
+    c = eng.exec(b)
+    assert c.dtype == np.float64
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
+
+
+def test_rowpara_dd_rejects_overlap(devices8):
+    a = banded_random_csr(100, nnz_per_row=4, bandwidth=10, seed=35)
+    with pytest.raises(ValueError, match="dd"):
+        build_engine(a, 4, 8, devices8, kernel="dd", overlap=1)
+
+
 def test_rowpara_no_reidx(devices8):
     a = banded_random_csr(300, nnz_per_row=5, bandwidth=25, seed=21)
     b = np.asarray(fill_b(0, a.ncol, 0, 8))
