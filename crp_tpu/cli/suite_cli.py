@@ -1,0 +1,201 @@
+"""crp-suite — benchmark sweep harness (the ``SC23_AD`` analog).
+
+The reference ships SLURM scripts + MATLAB plotters holding the published
+sweep results (``deprecated/SC23_AD/scripts/*.pbs``, ``figures/*.m``:
+strong scaling, n sweeps, runtime breakdowns, comm volumes).  This harness
+reproduces those sweep shapes on TPU/CPU meshes and emits machine-readable
+JSON lines (one per configuration) ready for plotting, including the
+comm-volume audit (planned / physical / minimal).
+
+Usage:
+  crp-suite scaling <mtx|synth:spec> <n> [--procs=1,2,4,8] [--ntest=3] ...
+  crp-suite vary_n  <mtx|synth:spec> <p> [--ns=16,64,256,1024] ...
+  crp-suite modes   <mtx|synth:spec> <n> <p>        # a2a vs ring vs overlap
+  crp-suite kernels <mtx|synth:spec> <n> <p>        # segsum/ell/pallas/dd
+
+Common flags: --engine=para2d|rowpara  --kernel=...  --dtype=...
+  --ntest=N  --out=FILE.jsonl  --cpu-mesh=N (re-exec on an N-device
+  virtual CPU mesh — the reference's "mpirun -np P on one box")
+
+Matrices: a Matrix Market path, or synth:banded:<nrow>:<nnz_per_row>:<bw>
+or synth:plaw:<nrow>:<deg> (network-free benchmarking).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _reexec_cpu_mesh(n: int) -> None:
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    )
+    env["JAX_ENABLE_X64"] = "1"
+    env["CRP_SUITE_MESH_READY"] = "1"
+    argv = [a for a in sys.argv if not a.startswith("--cpu-mesh")]
+    os.execvpe(sys.executable, [sys.executable, "-m", "crp_tpu.cli.suite_cli"]
+               + argv[1:], env)
+
+
+def run_one(a, n, p, engine_kind, config, dtype, ntest, check):
+    """Build one engine config, time ntest execs, return a result record."""
+    import jax
+
+    from ..engine.para2d import Para2dSpmm
+    from ..engine.rowpara import RowParaSpmm
+    from ..plan.partition1d import csr_row_partition
+    from ..plan.planner2d import plan_from_csr
+    from ..sparse.synth import fill_b
+    from ..shard.layout import make_mesh_1d, make_mesh_2d
+    from ..utils.blocks import uniform_displs
+    from ..utils.norms import rel_fro_err
+
+    rec = dict(
+        matrix=dict(m=a.nrow, k=a.ncol, nnz=a.nnz), n=n, p=p,
+        engine=engine_kind, kernel=config.kernel,
+        mode=("overlap" if config.overlap else
+              ("ring" if config.rb_p2p else "a2a")),
+        dtype=str(np.dtype(dtype)) if config.kernel != "dd" else "dd",
+        backend=jax.default_backend(),
+    )
+    t0 = time.perf_counter()
+    if engine_kind == "para2d":
+        plan = plan_from_csr(a, n, p)
+        rec["pm"], rec["pn"] = plan.pm, plan.pn
+        rec["plan_s"] = round(time.perf_counter() - t0, 4)
+        eng = Para2dSpmm(
+            a, plan, mesh=make_mesh_2d(plan.pm, plan.pn),
+            config=config, dtype=dtype,
+        )
+        rec["comm"] = dict(
+            replicate_A=eng.rA_cost,
+            exchange_B=eng.rB_recv_size * n,
+            physical_B_rows=eng.xplan.physical_rows_ring
+            if (config.overlap or config.rb_p2p) else eng.xplan.physical_rows,
+        )
+    else:
+        rb = csr_row_partition(a.rowptr, p)
+        b_displs = rb if a.nrow == a.ncol else uniform_displs(a.ncol, p)
+        rec["pm"], rec["pn"] = p, 1
+        rec["plan_s"] = round(time.perf_counter() - t0, 4)
+        eng = RowParaSpmm(
+            a, rb, b_displs, n, mesh=make_mesh_1d(p), config=config,
+            dtype=dtype,
+        )
+        rec["comm"] = dict(
+            exchange_B=eng.rB_recv_size * n,
+            physical_B_rows=eng.xplan.physical_rows_ring
+            if (config.overlap or config.rb_p2p) else eng.xplan.physical_rows,
+        )
+    rec["init_s"] = round(eng.t_init, 4)
+
+    b = np.asarray(
+        fill_b(0, a.ncol, 0, n,
+               dtype=np.float64 if config.kernel == "dd" else dtype)
+    )
+    bs = eng.shard_b(b)
+    bs.block_until_ready()
+    import jax.numpy as jnp
+
+    reduce = jax.jit(jnp.sum)
+    c = eng.exec_device(bs)
+    float(reduce(c))  # compile fence
+    times = []
+    for _ in range(ntest):
+        st = time.perf_counter()
+        c = eng.exec_device(bs)
+        float(reduce(c))
+        times.append(time.perf_counter() - st)
+    rec["exec_s"] = dict(
+        min=round(min(times), 6), avg=round(sum(times) / len(times), 6),
+        max=round(max(times), 6),
+    )
+    rec["gflops"] = round(2.0 * a.nnz * n / min(times) / 1e9, 1)
+    if check:
+        rec["rel_fro_err"] = float(rel_fro_err(a.spmm_ref(b), eng.unshard_c(c)))
+    return rec
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    pos = [x for x in argv if not x.startswith("--")]
+    opt = dict(x[2:].split("=", 1) for x in argv if x.startswith("--"))
+    if len(pos) < 2:
+        print(__doc__)
+        return 255
+    if "cpu-mesh" in opt and os.environ.get("CRP_SUITE_MESH_READY") != "1":
+        _reexec_cpu_mesh(int(opt["cpu-mesh"]))
+
+    from ..config import SpmmConfig
+    from .plan_cli import load_matrix
+
+    sweep = pos[0]
+    a = load_matrix(pos[1], need_symm=False)
+    ntest = int(opt.get("ntest", 3))
+    check = int(opt.get("check", 1))
+    engine = opt.get("engine", "para2d")
+    dtype = np.dtype(opt.get("dtype", "float32"))
+    base = SpmmConfig.from_env()
+    if "kernel" in opt:
+        base.kernel = opt["kernel"]
+
+    import dataclasses
+
+    def cfg(**kw):
+        return dataclasses.replace(base, **kw)
+
+    runs = []
+    if sweep == "scaling":
+        n = int(pos[2])
+        procs = [int(x) for x in opt.get("procs", "1,2,4,8").split(",")]
+        runs = [(a, n, p, engine, base, dtype) for p in procs]
+    elif sweep == "vary_n":
+        p = int(pos[2])
+        ns = [int(x) for x in opt.get("ns", "16,64,256,1024").split(",")]
+        runs = [(a, n, p, engine, base, dtype) for n in ns]
+    elif sweep == "modes":
+        n, p = int(pos[2]), int(pos[3])
+        runs = [
+            (a, n, p, engine, cfg(rb_p2p=0, overlap=0), dtype),
+            (a, n, p, engine, cfg(rb_p2p=1, overlap=0), dtype),
+            (a, n, p, engine, cfg(overlap=1), dtype),
+        ]
+    elif sweep == "kernels":
+        n, p = int(pos[2]), int(pos[3])
+        runs = [
+            (a, n, p, engine, cfg(kernel=k), dtype)
+            for k in opt.get("list", "segsum,ell,pallas,dd").split(",")
+        ]
+    else:
+        raise SystemExit(f"unknown sweep {sweep!r}")
+
+    out = open(opt["out"], "a") if "out" in opt else None
+    for args in runs:
+        try:
+            rec = run_one(*args, ntest=ntest, check=check)
+        except Exception as e:  # record the failure, keep sweeping
+            rec = dict(
+                sweep=sweep, engine=args[3], n=args[1], p=args[2],
+                kernel=args[4].kernel, error=f"{type(e).__name__}: {e}",
+            )
+        rec["sweep"] = sweep
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if out:
+            out.write(line + "\n")
+    if out:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

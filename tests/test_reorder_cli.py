@@ -91,3 +91,39 @@ def test_bench_cli_crp(devices8, capsys):
                "--engine=crp", "--dtype=float64", "--devices=8"])
     out = capsys.readouterr().out
     assert rc == 0 and "Alltoallv B necessary" in out
+
+
+def test_suite_cli_modes(capsys):
+    """crp-suite modes sweep: one JSON record per schedule, with comm audit."""
+    import json
+
+    from crp_tpu.cli.suite_cli import main as suite_main
+
+    rc = suite_main([
+        "modes", "synth:banded:600:5:25", "8", "4", "--ntest=1",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    recs = [json.loads(l) for l in lines]
+    assert [r["mode"] for r in recs] == ["a2a", "ring", "overlap"]
+    for r in recs:
+        assert r["rel_fro_err"] <= 1e-5
+        assert r["comm"]["exchange_B"] == recs[0]["comm"]["exchange_B"]
+    # the ring moves less padded physical volume than the all_to_all
+    assert recs[1]["comm"]["physical_B_rows"] < recs[0]["comm"]["physical_B_rows"]
+
+
+def test_suite_cli_vary_n(capsys):
+    import json
+
+    from crp_tpu.cli.suite_cli import main as suite_main
+
+    rc = suite_main([
+        "vary_n", "synth:banded:400:5:20", "4", "--ns=4,8", "--ntest=1",
+        "--engine=rowpara",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    recs = [json.loads(l) for l in lines]
+    assert [r["n"] for r in recs] == [4, 8]
+    assert all(r["rel_fro_err"] <= 1e-5 for r in recs)
