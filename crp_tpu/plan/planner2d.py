@@ -59,6 +59,40 @@ class Plan2D:
         (``src/para2d_spmm.c:38-40``)."""
         return rank // self.pn, rank % self.pn
 
+    def save(self, path: str) -> None:
+        """Serialize the plan to .npz (plans are init-once/exec-many state —
+        the checkpointable artifact the reference never persisted,
+        SURVEY.md section 5)."""
+        np.savez(
+            path,
+            scalars=np.array(
+                [self.nproc, self.m, self.n, self.k, self.pm, self.pn,
+                 self.comm_cost, self.basic_1d_cost, self.rA_cost,
+                 self.rB_cost],
+                dtype=np.int64,
+            ),
+            A0_rowptr=self.A0_rowptr, B_rowptr=self.B_rowptr,
+            AC_rowptr=self.AC_rowptr, BC_colptr=self.BC_colptr,
+            rB_comm_rows=(
+                self.rB_comm_rows if self.rB_comm_rows is not None
+                else np.zeros(0, np.int64)
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Plan2D":
+        z = np.load(path)
+        s = z["scalars"]
+        rB = z["rB_comm_rows"]
+        return cls(
+            nproc=int(s[0]), m=int(s[1]), n=int(s[2]), k=int(s[3]),
+            pm=int(s[4]), pn=int(s[5]), comm_cost=int(s[6]),
+            A0_rowptr=z["A0_rowptr"], B_rowptr=z["B_rowptr"],
+            AC_rowptr=z["AC_rowptr"], BC_colptr=z["BC_colptr"],
+            basic_1d_cost=int(s[7]), rA_cost=int(s[8]),
+            rB_comm_rows=rB if rB.size else None, rB_cost=int(s[9]),
+        )
+
     def describe(self) -> str:
         """Text dump in the spirit of ``examples/test_spmm_2dpg.c:53-79``."""
         lines = [

@@ -93,3 +93,30 @@ def test_fill_b_formula():
 def test_bandwidth():
     a = banded_random_csr(200, nnz_per_row=5, bandwidth=7, seed=6)
     assert a.bandwidth() <= 7
+
+
+def test_debug_dump_roundtrip(tmp_path):
+    from crp_tpu.utils.debug import dump_binary, load_binary, print_matrix
+    import io
+
+    x = np.arange(12, dtype=np.float64).reshape(3, 4) * 0.19
+    p = str(tmp_path / "x.bin")
+    dump_binary(x, p)
+    np.testing.assert_array_equal(load_binary(p), x)
+    buf = io.StringIO()
+    print_matrix(x, name="x", file=buf)
+    assert buf.getvalue().startswith("x, size = 3 * 4:")
+
+
+def test_plan2d_save_load_roundtrip(tmp_path):
+    from crp_tpu.plan.planner2d import plan_from_csr, Plan2D
+    from crp_tpu.sparse.synth import banded_random_csr
+
+    a = banded_random_csr(800, nnz_per_row=6, bandwidth=30, seed=40)
+    plan = plan_from_csr(a, 64, 8)
+    p = str(tmp_path / "plan.npz")
+    plan.save(p)
+    got = Plan2D.load(p)
+    assert (got.pm, got.pn, got.comm_cost) == (plan.pm, plan.pn, plan.comm_cost)
+    for f in ("A0_rowptr", "B_rowptr", "AC_rowptr", "BC_colptr"):
+        np.testing.assert_array_equal(getattr(got, f), getattr(plan, f))
