@@ -62,10 +62,10 @@ def main(argv=None) -> int:
 
     if engine_kind == "para2d":
         from ..engine.para2d import Para2dSpmm
-        from ..shard.layout import make_mesh_2d
+        from ..shard.layout import make_mesh_auto
 
         eng = Para2dSpmm(
-            a, plan, mesh=make_mesh_2d(plan.pm, plan.pn),
+            a, plan, mesh=make_mesh_auto(plan.pm, plan.pn),
             config=config, dtype=dtype,
         )
     elif engine_kind == "rowpara":
@@ -82,7 +82,7 @@ def main(argv=None) -> int:
     elif engine_kind == "crp":
         from ..engine.crp import CrpSpmm
         from ..plan.bandwidth import calc_bandwidth_part2d
-        from ..shard.layout import make_mesh_2d
+        from ..shard.layout import make_mesh_auto
         from ..shard.redist import BlockDist
         from ..utils.blocks import uniform_displs
 
@@ -93,7 +93,7 @@ def main(argv=None) -> int:
         )
         eng = CrpSpmm(
             a, glb_n, user_B, user_C, nproc=nproc,
-            mesh=make_mesh_2d(bp.np_row, bp.np_col),
+            mesh=make_mesh_auto(bp.np_row, bp.np_col),
             config=config, dtype=dtype,
         )
     else:

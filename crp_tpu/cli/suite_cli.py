@@ -55,7 +55,7 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check):
     from ..plan.partition1d import csr_row_partition
     from ..plan.planner2d import plan_from_csr
     from ..sparse.synth import fill_b
-    from ..shard.layout import make_mesh_1d, make_mesh_2d
+    from ..shard.layout import make_mesh_1d, make_mesh_auto
     from ..utils.blocks import uniform_displs
     from ..utils.norms import rel_fro_err
 
@@ -73,7 +73,7 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check):
         rec["pm"], rec["pn"] = plan.pm, plan.pn
         rec["plan_s"] = round(time.perf_counter() - t0, 4)
         eng = Para2dSpmm(
-            a, plan, mesh=make_mesh_2d(plan.pm, plan.pn),
+            a, plan, mesh=make_mesh_auto(plan.pm, plan.pn),
             config=config, dtype=dtype,
         )
         rec["comm"] = dict(

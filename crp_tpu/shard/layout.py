@@ -66,3 +66,49 @@ def make_mesh_2d(
         raise ValueError(f"need {pm * pn} devices, have {len(devices)}")
     grid = np.array(devices[: pm * pn]).reshape(pm, pn)
     return jax.sharding.Mesh(grid, axes)
+
+
+def init_distributed(**kw) -> None:
+    """Multi-host (pod / pod-slice) runtime init.
+
+    The reference initializes MPI and derives ranks from SLURM/PBS env vars
+    (``deprecated/src/cuda_proxy.cu:11-46``, ``SC23_AD/scripts/*.pbs``); on
+    TPU pods the launcher env is read by ``jax.distributed.initialize``,
+    after which ``jax.devices()`` spans all hosts and the same engines run
+    unchanged. Call once per process before building meshes.
+    """
+    import jax
+
+    jax.distributed.initialize(**kw)
+
+
+def make_mesh_auto(
+    pm: int, pn: int, axes=("pm", "pn"), devices=None
+) -> jax.sharding.Mesh:
+    """Interconnect-aware pm x pn mesh for single- or multi-slice topologies.
+
+    The exec-time B-row exchange travels along ``pm`` every exec, while A
+    replication along ``pn`` happens once at init — so on a multi-slice
+    (DCN-connected) topology ``pm`` is kept inside a slice (ICI) and ``pn``
+    is split across slices. Falls back to a physically-contiguous mesh from
+    ``mesh_utils`` on one slice, and to the plain row-major grid when the
+    topology helpers reject the shape (e.g. virtual CPU devices).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    devices = devices[: pm * pn]
+    if len(devices) < pm * pn:
+        raise ValueError(f"need {pm * pn} devices, have {len(devices)}")
+    slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+    num_slices = len(slice_ids)
+    try:
+        from jax.experimental import mesh_utils
+
+        if num_slices > 1 and pn % num_slices == 0:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (pm, pn // num_slices), (1, num_slices), devices
+            )
+        else:
+            grid = mesh_utils.create_device_mesh((pm, pn), devices)
+        return jax.sharding.Mesh(grid, axes)
+    except (ValueError, AssertionError, NotImplementedError):
+        return make_mesh_2d(pm, pn, axes=axes, devices=devices)

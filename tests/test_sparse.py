@@ -120,3 +120,13 @@ def test_plan2d_save_load_roundtrip(tmp_path):
     assert (got.pm, got.pn, got.comm_cost) == (plan.pm, plan.pn, plan.comm_cost)
     for f in ("A0_rowptr", "B_rowptr", "AC_rowptr", "BC_colptr"):
         np.testing.assert_array_equal(getattr(got, f), getattr(plan, f))
+
+
+def test_make_mesh_auto_shapes(devices8):
+    from crp_tpu.shard.layout import make_mesh_auto
+
+    for pm, pn in [(8, 1), (4, 2), (2, 4), (2, 2)]:
+        mesh = make_mesh_auto(pm, pn, devices=devices8)
+        assert mesh.devices.shape == (pm, pn)
+        assert mesh.axis_names == ("pm", "pn")
+        assert len({d.id for d in mesh.devices.flat}) == pm * pn
