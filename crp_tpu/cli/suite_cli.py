@@ -82,6 +82,50 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check):
             physical_B_rows=eng.xplan.physical_rows_ring
             if (config.overlap or config.rb_p2p) else eng.xplan.physical_rows,
         )
+    elif engine_kind == "crp":
+        from ..engine.crp import CrpSpmm
+        from ..plan.bandwidth import calc_bandwidth_part2d
+        from ..shard.redist import BlockDist
+
+        user_B = BlockDist.from_row_slabs(uniform_displs(a.ncol, p), n)
+        user_C = BlockDist.from_row_slabs(uniform_displs(a.nrow, p), n)
+        bp = calc_bandwidth_part2d(
+            p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges()
+        )
+        rec["pm"], rec["pn"] = bp.np_row, bp.np_col
+        rec["plan_s"] = round(time.perf_counter() - t0, 4)
+        eng = CrpSpmm(
+            a, n, user_B, user_C, nproc=p,
+            mesh=make_mesh_auto(bp.np_row, bp.np_col),
+            config=config, dtype=dtype,
+        )
+        rec["comm"] = dict(
+            redist_A=eng.nelem_A_rd, allgatherv_A=eng.nelem_A_agv,
+            redist_B=eng.nelem_B_rd, a2av_B=eng.nelem_B_a2av,
+            a2av_B_necessary=eng.nelem_B_a2av_min,
+        )
+        rec["init_s"] = round(eng.t_init, 4)
+        from ..sparse.synth import fill_b as _fb
+
+        b = np.asarray(_fb(0, a.ncol, 0, n, dtype=dtype))
+        bs = eng.rd_B.shard_src(b)
+        c = eng.exec_device(bs)  # warm-up/compile
+        eng.clear_stat()
+        times = []
+        for _ in range(ntest):
+            st = time.perf_counter()
+            c = eng.exec_device(bs)
+            c.block_until_ready()
+            times.append(time.perf_counter() - st)
+        rec["exec_s"] = dict(
+            min=round(min(times), 6), avg=round(sum(times) / len(times), 6),
+            max=round(max(times), 6),
+        )
+        rec["gflops"] = round(2.0 * a.nnz * n / min(times) / 1e9, 1)
+        if check:
+            out = eng.rd_C.unshard_dst(c, a.nrow, n)
+            rec["rel_fro_err"] = float(rel_fro_err(a.spmm_ref(b), out))
+        return rec
     else:
         rb = csr_row_partition(a.rowptr, p)
         b_displs = rb if a.nrow == a.ncol else uniform_displs(a.ncol, p)

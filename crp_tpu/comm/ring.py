@@ -56,6 +56,7 @@ def build_ring_spmm(
     max_m: int,
     dtype,
     kernel_kind: str = "segsum",
+    mxu_precision: str = "highest",
 ) -> RingSpmmPack:
     """Split each shard's A by B-row owner and pack for the overlapped exec.
 
@@ -109,7 +110,7 @@ def build_ring_spmm(
     self_kind = kernel_kind
     try:
         self_arrays, self_fn = pack_local_kernel(
-            self_shards, max_m, dtype, self_kind
+            self_shards, max_m, dtype, self_kind, mxu_precision=mxu_precision
         )
     except UnsupportedSparsity:
         self_kind = "segsum"

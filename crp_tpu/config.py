@@ -94,6 +94,10 @@ class SpmmConfig:
     dtype: str = "float32"
     kernel: str = "auto"
     overlap: int = 0
+    # MXU pass scheme for fp32 data in the pallas kernel:
+    # "highest" = full fp32 emulation (~1e-7), "x3" = 3-pass bf16 split
+    # (~5e-6, faster on MXU-bound shapes), "default" = 1 bf16 pass (~1e-3)
+    mxu_precision: str = "highest"
 
     @classmethod
     def from_env(cls) -> "SpmmConfig":
@@ -106,4 +110,5 @@ class SpmmConfig:
             dtype=os.environ.get("CRP_TPU_DTYPE", "float32"),
             kernel=os.environ.get("CRP_TPU_KERNEL", "auto"),
             overlap=get_env_int("CRP_TPU_OVERLAP", 0, 0, 1, var_name="overlap"),
+            mxu_precision=os.environ.get("CRP_TPU_MXU_PREC", "highest"),
         )

@@ -119,7 +119,8 @@ class CrpSpmm:
             shards_compact.append((s.rowptr, cc, s.val))
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
         arrays, self._local_fn = pack_local_kernel(
-            shards_compact, self.max_m, self.dtype, kind
+            shards_compact, self.max_m, self.dtype, kind,
+            mxu_precision=self.config.mxu_precision,
         )
         self._rb_rows = max(
             self.xplan.rB_nrow_max, getattr(self._local_fn, "min_b_rows", 1), 1

@@ -94,7 +94,8 @@ class Para2dSpmm:
 
         if self.overlap:
             self.ring = build_ring_spmm(
-                panels, self.xplan, plan.B_rowptr, self.max_m, self.dtype, kind
+                panels, self.xplan, plan.B_rowptr, self.max_m, self.dtype,
+                kind, mxu_precision=self.config.mxu_precision,
             )
             self.d_kernel = tuple(put_pm(a) for a in self.ring.self_arrays)
             self._kernel_specs = tuple(
@@ -119,7 +120,8 @@ class Para2dSpmm:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
             arrays, self._local_fn = pack_local_kernel(
-                shards_compact, self.max_m, self.dtype, kind
+                shards_compact, self.max_m, self.dtype, kind,
+                mxu_precision=self.config.mxu_precision,
             )
             # the pallas windowed kernel needs rB padded so window DMAs stay
             # in-bounds; extra rows only ever meet zero A-tile columns

@@ -94,7 +94,7 @@ class RowParaSpmm:
         if self.overlap:
             self.ring = build_ring_spmm(
                 shards, self.xplan, self.B_row_displs, self.max_m,
-                self.dtype, kind,
+                self.dtype, kind, mxu_precision=self.config.mxu_precision,
             )
             self.d_kernel = tuple(put(a) for a in self.ring.self_arrays)
             self._kernel_specs = tuple(
@@ -120,7 +120,8 @@ class RowParaSpmm:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
             arrays, self._local_fn = pack_local_kernel(
-                shards_compact, self.max_m, self.dtype, kind
+                shards_compact, self.max_m, self.dtype, kind,
+                mxu_precision=self.config.mxu_precision,
             )
             # the pallas windowed kernel needs rB padded so window DMAs stay
             # in-bounds; extra rows only ever meet zero A-tile columns

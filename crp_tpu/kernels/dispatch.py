@@ -28,6 +28,7 @@ def pack_local_kernel(
     max_m: int,
     dtype,
     kind: str = "segsum",
+    mxu_precision: str = "highest",
 ) -> tuple[tuple[np.ndarray, ...], Callable]:
     """Pack shards [(rowptr, compact_colidx, val), ...] for kernel ``kind``.
 
@@ -64,7 +65,7 @@ def pack_local_kernel(
         return arrays, local_fn
 
     if kind == "pallas":
-        return _pack_pallas(shards, max_m, dtype)
+        return _pack_pallas(shards, max_m, dtype, mxu_precision)
 
     if kind == "dd":
         from .spmm_dd import pack_coo_dd, spmm_segsum_dd
@@ -86,7 +87,7 @@ def pack_local_kernel(
     raise ValueError(f"unknown local SpMM kernel kind {kind!r}")
 
 
-def _pack_pallas(shards, max_m, dtype):
+def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
     """Stack per-shard WindowDense packs to common (G, T) dims.
 
     The returned local_fn carries ``min_b_rows``: engines must size the
@@ -103,25 +104,37 @@ def _pack_pallas(shards, max_m, dtype):
         packs.append(
             pack_window_dense(rowptr, cc, v.astype(dtype), ncol, dtype=dtype)
         )
+    from .spmm_pallas import choose_chunks
+
     TM = packs[0].TM
     G = max(max(p.G for p in packs), -(-max_m // TM))
-    T = max(p.T for p in packs)
-    W = T * 128
-    tiles = np.zeros((len(packs), G, T, TM, 128), dtype=dtype)
+    # shared panel width must itself be chunk-exact for the k-loop
+    W, _, _ = choose_chunks(max(p.W for p in packs))
+    tiles = np.zeros((len(packs), G, TM, W), dtype=dtype)
     ws = np.zeros((len(packs), G), dtype=np.int32)
     for i, p in enumerate(packs):
-        tiles[i, : p.G, : p.T] = p.tiles
+        tiles[i, : p.G, :, : p.W] = p.tiles
         ws[i, : p.G] = p.ws
     min_b_rows = int(ws.max()) + W
     interpret = jax.default_backend() != "tpu"
+    if mxu_precision == "x3" and np.dtype(dtype) == np.float32:
+        precision = "x3"
+    elif mxu_precision == "default":
+        import jax as _jax
+
+        precision = _jax.lax.Precision.DEFAULT
+    else:
+        precision = None  # kernel default: HIGHEST for fp32
 
     def local_fn(arrs, rB):
         ws_i, tiles_i = arrs
         packed = WindowDense(
-            nrow=max_m, ncol=rB.shape[0], TM=TM, G=G, T=T, W=W,
+            nrow=max_m, ncol=rB.shape[0], TM=TM, G=G, W=W,
             ws=ws_i, tiles=tiles_i,
         )
-        c = spmm_window_pallas(packed, rB, TN=128, interpret=interpret)
+        c = spmm_window_pallas(
+            packed, rB, precision=precision, interpret=interpret
+        )
         return c[:max_m].astype(rB.dtype)
 
     local_fn.min_b_rows = min_b_rows

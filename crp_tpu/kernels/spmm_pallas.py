@@ -7,20 +7,24 @@ rather than translated:
 
   * rows are processed in groups of ``TM``; after the planner's rB
     compaction (``rB_reidx``) each group's referenced B rows fall in a
-    contiguous *window* [min tile, max tile] of 128-row tiles;
-  * at pack time (host) the group's nonzeros are densified into
-    ``(TM, 128)`` A tiles covering the window — zero tiles stay, but only
-    within the window, so storage ~ m x window_width, not m x k;
-  * at exec time the kernel DMAs the B window for the group from HBM into
-    VMEM (start row is scalar-prefetched — windows are data-dependent,
-    which BlockSpec index maps cannot express) and runs
-    ``C_tile += A_tile @ B_tile`` on the MXU per window tile;
-  * HBM traffic ~ dense-window A (read once) + one window sweep of B + one
-    C write; FLOPs ~ m x window x n — both set by the matrix bandwidth,
-    which is exactly what the planner/reordering layers minimize.
+    contiguous *window* [min, max) of 128-row-aligned B rows;
+  * at pack time (host) the group's nonzeros are densified into a flat
+    ``(TM, W)`` panel covering the window — zeros stay, but only within the
+    window, so storage ~ m x window_width, not m x k;
+  * at exec time a 3D grid ``(G, NJ, C)`` runs the classic matmul k-loop:
+    the A panel streams through VMEM in ``(TM, Wc)`` chunks via the
+    automatic BlockSpec pipeline, the matching B window chunk is DMA'd
+    HBM->VMEM double-buffered across grid steps (window starts are
+    data-dependent — scalar-prefetched ``ws`` — which BlockSpec index maps
+    cannot express), and ``C[g, j] += A_chunk @ B_chunk`` accumulates in
+    the resident output block;
+  * HBM traffic ~ dense-window A (read once when TN >= n) + one window
+    sweep of B + one C write; FLOPs ~ m x window x n — both set by the
+    matrix bandwidth, which is exactly what the planner/reordering layers
+    minimize.  VMEM use is bounded by the chunk size, independent of W.
 
 Precision: for fp32 data the MXU computes via bf16 passes;
-``precision=HIGHEST`` reproduces fp32 (~6x MXU cost), DEFAULT is one bf16
+``precision=HIGHEST`` reproduces fp32 (~6 passes), DEFAULT is one bf16
 pass (~1e-3 relative).  ``compute_dtype=bfloat16`` additionally halves A/B
 storage and traffic.
 
@@ -36,7 +40,18 @@ import functools
 
 import numpy as np
 
-TK = 128  # B tile rows (MXU contraction dim)
+TK = 128    # B window row alignment (MXU contraction dim granularity)
+WCHUNK = 1536  # max k-loop chunk rows: bounds VMEM (~7 MB at TN=256 fp32)
+
+
+def choose_chunks(W0: int) -> tuple[int, int, int]:
+    """(W_padded, Wc, C) for a raw window of W0 rows: C even chunks of at
+    most ~WCHUNK rows, chunk size TK-aligned, padding minimized (idempotent
+    on already-padded widths)."""
+    C = -(-W0 // WCHUNK)
+    per = -(-W0 // C)
+    Wc = -(-per // TK) * TK
+    return C * Wc, Wc, C
 
 
 class UnsupportedSparsity(ValueError):
@@ -51,14 +66,17 @@ class WindowDense:
     ncol: int            # rB rows (gather space)
     TM: int
     G: int               # row groups
-    T: int               # window tiles per group (W // TK)
     W: int               # window rows (multiple of TK)
     ws: np.ndarray       # (G,) int32 window start row (multiple of TK)
-    tiles: np.ndarray    # (G, T, TM, TK) dense A tiles
+    tiles: np.ndarray    # (G, TM, W) dense A panels
 
     @property
     def padded_bytes(self) -> int:
         return self.tiles.nbytes
+
+    @property
+    def T(self) -> int:  # 128-row window tiles (kept for stats/compat)
+        return self.W // TK
 
 
 def pack_window_dense(
@@ -71,10 +89,10 @@ def pack_window_dense(
     max_expand_bytes: int = 8 << 30,
     dtype=np.float32,
 ) -> WindowDense:
-    """Densify a CSR shard into per-group window tiles.
+    """Densify a CSR shard into flat per-group window panels.
 
     Raises UnsupportedSparsity when any group's window exceeds ``max_window``
-    rows or the dense tiles exceed ``max_expand_bytes``.
+    rows or the dense panels exceed ``max_expand_bytes``.
     """
     nrow = len(rowptr) - 1
     rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
@@ -97,12 +115,15 @@ def pack_window_dense(
     empty = max_t < 0
     min_t = np.where(empty, 0, np.minimum(min_t, max_t))
     max_t = np.where(empty, 0, max_t)
-    W = int(((max_t - min_t + 1).max()) * TK)
-    if W > max_window:
-        raise UnsupportedSparsity(f"window {W} rows > cap {max_window}")
-    T = W // TK
+    W0 = int(((max_t - min_t + 1).max()) * TK)
+    if W0 > max_window:
+        raise UnsupportedSparsity(f"window {W0} rows > cap {max_window}")
+    # round W up to a whole number of k-loop chunks so exec-time chunking
+    # never reads past the panel (pad columns stay zero)
+    W, _, _ = choose_chunks(W0)
+    T0 = W0 // TK
 
-    tile_bytes = G * T * TM * TK * np.dtype(dtype).itemsize
+    tile_bytes = G * W * TM * np.dtype(dtype).itemsize
     if tile_bytes > max_expand_bytes:
         raise UnsupportedSparsity(
             f"dense window tiles {tile_bytes >> 20} MiB > cap"
@@ -113,37 +134,36 @@ def pack_window_dense(
 
         res = native.pack_window_f32(
             nrow, ncol, rowptr, colidx, np.asarray(val, np.float32),
-            TM, TK, max_window, G, T,
+            TM, TK, max_window, G, T0,
         )
         if res is not None:
             ws_n, tiles, w_n = res
-            assert w_n == W, (w_n, W)
+            assert w_n == W0, (w_n, W0)
+            # (G, T, TM, TK) -> flat (G, TM, W): window col = t*TK + c
+            flat = np.zeros((G, TM, W), dtype=dtype)
+            flat[:, :, :W0] = tiles.transpose(0, 2, 1, 3).reshape(G, TM, W0)
             return WindowDense(
-                nrow=nrow, ncol=ncol, TM=TM, G=G, T=T, W=W,
-                ws=ws_n, tiles=tiles,
+                nrow=nrow, ncol=ncol, TM=TM, G=G, W=W, ws=ws_n, tiles=flat,
             )
 
     r = np.repeat(np.arange(nrow, dtype=np.int64), counts)
     c = np.asarray(colidx, dtype=np.int64)
     v = np.asarray(val, dtype=dtype)
     g = r // TM
-    t = c // TK
-    tiles = np.zeros((G, T, TM, TK), dtype=dtype)
-    # flat scatter: tile (g, t - min_t[g]), position (r % TM, c % TK)
-    flat = (
-        ((g * T + (t - min_t[g])) * TM + (r % TM)) * TK + (c % TK)
-    )
+    tiles = np.zeros((G, TM, W), dtype=dtype)
+    # flat scatter: panel (g), position (r % TM, c - window_start)
+    flat = (g * TM + (r % TM)) * W + (c - min_t[g] * TK)
     np.add.at(tiles.reshape(-1), flat, v)  # add: duplicates accumulate
 
     return WindowDense(
-        nrow=nrow, ncol=ncol, TM=TM, G=G, T=T, W=W,
+        nrow=nrow, ncol=ncol, TM=TM, G=G, W=W,
         ws=(min_t * TK).astype(np.int32), tiles=tiles,
     )
 
 
 def _window_kernel(
-    ws_ref, tiles_ref, b_hbm, o_ref, window, sem,
-    *, W, TM, TN, T, NJ, nbuf, compute_dtype, precision, acc_dtype,
+    ws_ref, a_ref, b_hbm, o_ref, window, sem,
+    *, Wc, TN, NJ, C, compute_dtype, precision, acc_dtype,
 ):
     import jax
     import jax.numpy as jnp
@@ -152,60 +172,76 @@ def _window_kernel(
 
     g = pl.program_id(0)
     jn = pl.program_id(1)
-    step = g * NJ + jn
+    t = pl.program_id(2)
+    step = (g * NJ + jn) * C + t
+    total = pl.num_programs(0) * NJ * C
 
     def window_dma(s, slot):
-        """DMA of step s's B window into buffer ``slot``."""
-        gg = s // NJ
-        jj = s - gg * NJ
+        """DMA of step s's B window chunk into buffer ``slot``."""
+        gg = s // (NJ * C)
+        jj = (s // C) - gg * NJ
+        tt = s - (s // C) * C
         return pltpu.make_async_copy(
             b_hbm.at[
-                pl.ds(pl.multiple_of(ws_ref[gg], TK), W),
+                pl.ds(pl.multiple_of(ws_ref[gg] + tt * Wc, TK), Wc),
                 pl.ds(pl.multiple_of(jj * TN, TN), TN),
             ],
             window.at[slot],
             sem.at[slot],
         )
 
-    if nbuf == 2:
-        # double-buffered across sequential grid steps: scratch persists, so
-        # step s computes from slot s%2 while step s+1's window streams into
-        # the other slot (the manual DMA is otherwise serialized with the
-        # MXU loop — measured 75 GB/s effective without this)
-        @pl.when(step == 0)
-        def _():
-            window_dma(0, 0).start()
+    # double-buffered across sequential grid steps: scratch persists, so
+    # this step computes from slot step%2 while the next step's chunk
+    # streams into the other slot (a serialized start/wait DMA otherwise
+    # gates the MXU on every chunk)
+    @pl.when(step == 0)
+    def _():
+        window_dma(0, 0).start()
 
-        @pl.when(step + 1 < pl.num_programs(0) * NJ)
-        def _():
-            window_dma(step + 1, (step + 1) % 2).start()
+    @pl.when(step + 1 < total)
+    def _():
+        window_dma(step + 1, (step + 1) % 2).start()
 
-        slot = step % 2
-        window_dma(step, slot).wait()
+    slot = step % 2
+    window_dma(step, slot).wait()
+
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "x3":
+        # hand-rolled bf16x3: a = ah + al, b = bh + bl (bf16 splits);
+        # a@b ~ ah@bh + ah@bl + al@bh — 3 MXU passes vs HIGHEST's 6,
+        # ~1e-6 relative instead of ~1e-7
+        a32 = a_ref[0].astype(jnp.float32)
+        b32 = window[slot].astype(jnp.float32)
+        ah = a32.astype(jnp.bfloat16)
+        al = (a32 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b32.astype(jnp.bfloat16)
+        bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        partial = dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
     else:
-        slot = 0
-        dma = window_dma(step, slot)
-        dma.start()
-        dma.wait()
-
-    def tile_body(ti, acc):
-        bt = window[slot, pl.ds(pl.multiple_of(ti * TK, TK), TK), :]
-        at = tiles_ref[0, ti]
-        return acc + jnp.dot(
-            at.astype(compute_dtype), bt.astype(compute_dtype),
+        partial = jax.lax.dot_general(
+            a_ref[0].astype(compute_dtype),
+            window[slot].astype(compute_dtype),
+            dims,
             preferred_element_type=acc_dtype,
             precision=precision,
         )
 
-    acc = jax.lax.fori_loop(
-        0, T, tile_body, jnp.zeros((TM, TN), dtype=acc_dtype)
-    )
-    o_ref[:] = acc.astype(o_ref.dtype)
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = partial.astype(o_ref.dtype)
+
+    @pl.when(t > 0)
+    def _():
+        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
 
 
 def spmm_window_pallas(
-    packed: WindowDense, b, TN: int = 128, compute_dtype=None, precision=None,
-    interpret: bool = False,
+    packed: WindowDense, b, TN: int | None = None, Wc: int | None = None,
+    compute_dtype=None, precision=None, interpret: bool = False,
 ):
     """C (G*TM, n) = A @ B with B (k_pad, n); k_pad >= max(ws) + W.
 
@@ -225,55 +261,58 @@ def spmm_window_pallas(
             else jax.lax.Precision.DEFAULT
         )
     n_orig = b.shape[1]
+    if TN is None:
+        TN = 256 if n_orig % 256 == 0 else 128
     if n_orig % TN:
         b = jnp.pad(b, ((0, 0), (0, TN - n_orig % TN)))
     n = b.shape[1]
+    W, TM, G = packed.W, packed.TM, packed.G
+    if Wc is None:
+        _, Wc, _ = choose_chunks(W)
+    C = W // Wc
+    # pack_window_dense rounds W up to whole chunks, so chunking is exact
+    assert Wc * C == W and Wc % TK == 0, (W, Wc, C)
+
     acc_dtype = (
         jnp.float64 if np.dtype(compute_dtype) == np.float64 else jnp.float32
     )
-    # double-buffer the B window when both slots + the pipelined A blocks
-    # fit in VMEM (~16 MB/core); fall back to one slot for wide windows
-    itemsize = np.dtype(b.dtype).itemsize
-    vmem_need = (
-        2 * packed.W * TN * itemsize                      # window slots
-        + 2 * packed.T * packed.TM * TK * packed.tiles.dtype.itemsize  # A pipe
-        + 2 * packed.TM * TN * np.dtype(acc_dtype).itemsize
-    )
-    nbuf = 2 if vmem_need <= 14 * 2**20 else 1
+    tiles = packed.tiles
+
     kern = functools.partial(
         _window_kernel,
-        W=packed.W, TM=packed.TM, TN=TN, T=packed.T, NJ=n // TN, nbuf=nbuf,
+        Wc=Wc, TN=TN, NJ=n // TN, C=C,
         compute_dtype=compute_dtype, precision=precision,
         acc_dtype=acc_dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # ws
-        grid=(packed.G, n // TN),
+        grid=(G, n // TN, C),
         in_specs=[
             pl.BlockSpec(
-                (1, packed.T, packed.TM, TK),
-                lambda g, j, *_: (g, 0, 0, 0),
+                (1, TM, Wc),
+                lambda g, j, t, *_: (g, 0, t),
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # B stays in HBM
         ],
-        out_specs=pl.BlockSpec((packed.TM, TN), lambda g, j, *_: (g, j)),
+        out_specs=pl.BlockSpec((TM, TN), lambda g, j, t, *_: (g, j)),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, packed.W, TN), b.dtype),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((2, Wc, TN), b.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     fn = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((packed.G * packed.TM, n), acc_dtype),
+        out_shape=jax.ShapeDtypeStruct((G * TM, n), acc_dtype),
         interpret=interpret,
     )
-    out = fn(jnp.asarray(packed.ws), jnp.asarray(packed.tiles), b)
+    out = fn(jnp.asarray(packed.ws), jnp.asarray(tiles), b)
     return out[:, :n_orig] if n != n_orig else out
 
 
 def pad_b_for_window(b: np.ndarray, packed: WindowDense) -> np.ndarray:
-    """Pad B rows so every window DMA is in-bounds."""
+    """Pad B rows so every window-chunk DMA is in-bounds (W already rounded
+    to whole chunks at pack time; extra rows only meet zero A columns)."""
     need = int(packed.ws.max()) + packed.W
     if b.shape[0] >= need:
         return b

@@ -150,3 +150,21 @@ def test_dd_split_roundtrip():
     hi, lo = split_f64(x)
     err = np.abs(hi.astype(np.float64) + lo.astype(np.float64) - x)
     assert (err / np.abs(x)).max() <= 2 ** -45
+
+
+def test_pallas_x3_precision_mode():
+    """Hand-rolled bf16x3 pass scheme (interpret mode): ~1e-6 class."""
+    import jax.numpy as jnp
+    from crp_tpu.kernels.spmm_pallas import (
+        pack_window_dense, spmm_window_pallas, pad_b_for_window,
+    )
+
+    a = banded_random_csr(700, nnz_per_row=6, bandwidth=40, seed=44)
+    b = np.asarray(fill_b(0, a.ncol, 0, 32, dtype=np.float32))
+    packed = pack_window_dense(a.rowptr, a.colidx, a.val, a.ncol,
+                               dtype=np.float32)
+    bp = jnp.asarray(pad_b_for_window(b, packed))
+    c = np.asarray(
+        spmm_window_pallas(packed, bp, precision="x3", interpret=True)
+    )[: a.nrow]
+    assert rel_fro_err(a.spmm_ref(b.astype(np.float64)), c) <= 1e-5

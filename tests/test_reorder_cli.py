@@ -127,3 +127,20 @@ def test_suite_cli_vary_n(capsys):
     recs = [json.loads(l) for l in lines]
     assert [r["n"] for r in recs] == [4, 8]
     assert all(r["rel_fro_err"] <= 1e-5 for r in recs)
+
+
+def test_suite_cli_crp_engine(capsys):
+    """crp-suite with the any-layout v1 engine: full v1-style comm audit."""
+    import json
+
+    from crp_tpu.cli.suite_cli import main as suite_main
+
+    rc = suite_main([
+        "scaling", "synth:banded:500:5:25", "8", "--procs=4", "--engine=crp",
+        "--ntest=1",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    (rec,) = [json.loads(l) for l in lines]
+    assert rec["rel_fro_err"] <= 1e-5
+    assert rec["comm"]["a2av_B_necessary"] <= rec["comm"]["a2av_B"]
