@@ -36,14 +36,18 @@ def main():
     n = int(os.environ.get("CRP_BENCH_N", 256))
     ntest = int(os.environ.get("CRP_BENCH_NTEST", 5))
     kernel = os.environ.get("CRP_BENCH_KERNEL", "pallas")
+    # headline runs the 3-pass bf16 MXU scheme (~5e-6 relative, vs ~1e-7
+    # for "highest"); engines default to "highest" — accuracy-first
+    os.environ.setdefault("CRP_TPU_MXU_PREC", "x3")
 
     a = banded_random_csr(nrow, nnz_per_row=53, bandwidth=2500, seed=1234,
                           dtype=np.float32)
     displs = csr_row_partition(a.rowptr, 1)
     mesh = make_mesh_1d(1)
+    config = SpmmConfig.from_env()
+    config.kernel = kernel
     eng = RowParaSpmm(
-        a, displs, displs, n, mesh=mesh,
-        config=SpmmConfig(kernel=kernel), dtype=np.float32,
+        a, displs, displs, n, mesh=mesh, config=config, dtype=np.float32,
     )
     b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
     bs = eng.shard_b(b)
@@ -73,7 +77,9 @@ def main():
         json.dumps(
             {
                 "metric": f"pwtk-class {nrow}x{nrow} nnz={a.nnz} n={n} "
-                          f"single-chip SpMM exec ({kernel}, {gflops:.0f} GFLOP/s)",
+                          f"single-chip SpMM exec ({kernel}/"
+                          f"{os.environ['CRP_TPU_MXU_PREC']}, "
+                          f"{gflops:.0f} GFLOP/s)",
                 "value": round(t, 5),
                 "unit": "s",
                 "vs_baseline": round(REFERENCE_SECONDS / t, 2),

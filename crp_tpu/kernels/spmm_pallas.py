@@ -132,16 +132,13 @@ def pack_window_dense(
     if np.dtype(dtype) == np.float32:
         from .. import native
 
-        res = native.pack_window_f32(
-            nrow, ncol, rowptr, colidx, np.asarray(val, np.float32),
-            TM, TK, max_window, G, T0,
+        res = native.pack_window_flat_f32(
+            nrow, rowptr, colidx, np.asarray(val, np.float32),
+            TM, TK, max_window, G, W,
         )
         if res is not None:
-            ws_n, tiles, w_n = res
-            assert w_n == W0, (w_n, W0)
-            # (G, T, TM, TK) -> flat (G, TM, W): window col = t*TK + c
-            flat = np.zeros((G, TM, W), dtype=dtype)
-            flat[:, :, :W0] = tiles.transpose(0, 2, 1, 3).reshape(G, TM, W0)
+            ws_n, flat, w0_n = res
+            assert w0_n == W0, (w0_n, W0)
             return WindowDense(
                 nrow=nrow, ncol=ncol, TM=TM, G=G, W=W, ws=ws_n, tiles=flat,
             )

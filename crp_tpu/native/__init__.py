@@ -67,6 +67,10 @@ def _load():
     lib.crp_pack_window_f32.argtypes = [
         i64, i64, p_i64, p_i32, p_f32, i64, i64, i64, i64, i64, p_i32, p_f32,
     ]
+    lib.crp_pack_window_flat_f32.restype = i64
+    lib.crp_pack_window_flat_f32.argtypes = [
+        i64, p_i64, p_i32, p_f32, i64, i64, i64, i64, i64, p_i32, p_f32,
+    ]
     lib.crp_mtx_stat.restype = ctypes.c_int
     lib.crp_mtx_stat.argtypes = [ctypes.c_char_p] + [ctypes.POINTER(i64)] * 3 + [
         ctypes.POINTER(ctypes.c_int)
@@ -133,6 +137,26 @@ def pack_window_f32(nrow, ncol, rowptr, colidx, val, TM, TK, max_window, G, T):
     if w < 0:
         return None
     return ws, tiles, int(w)
+
+
+def pack_window_flat_f32(nrow, rowptr, colidx, val, TM, TK, max_window, G, W):
+    """Native flat-panel densification into (G, TM, W); returns
+    (ws, panels, W0) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    ws = np.zeros(G, dtype=np.int32)
+    panels = np.zeros((G, TM, W), dtype=np.float32)
+    w0 = lib.crp_pack_window_flat_f32(
+        int(nrow),
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(colidx, dtype=np.int32),
+        np.ascontiguousarray(val, dtype=np.float32),
+        int(TM), int(TK), int(max_window), int(G), int(W), ws, panels,
+    )
+    if w0 < 0:
+        return None
+    return ws, panels, int(w0)
 
 
 def mtx_read(path):

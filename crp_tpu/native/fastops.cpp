@@ -132,6 +132,46 @@ int64_t crp_pack_window_f32(
     return T * TK;
 }
 
+// Flat-panel densification for the chunked Pallas kernel: panels[G*TM*W]
+// (zero-initialized by the caller, W possibly chunk-padded past the raw
+// window width).  Returns the raw window width W0 (rows), or -1 if it
+// would exceed max_window.
+int64_t crp_pack_window_flat_f32(
+    int64_t nrow, const int64_t* rowptr, const int32_t* colidx,
+    const float* val, int64_t TM, int64_t TK, int64_t max_window,
+    int64_t G, int64_t W, int32_t* ws, float* panels)
+{
+    std::vector<int64_t> min_t(G), max_t(G);
+    for (int64_t g = 0; g < G; g++) {
+        int64_t r0 = g * TM, r1 = std::min(nrow, (g + 1) * TM);
+        int64_t mn = INT64_MAX, mx = 0;
+        for (int64_t j = rowptr[r0]; j < rowptr[r1]; j++) {
+            int64_t t = colidx[j] / TK;
+            if (t < mn) mn = t;
+            if (t > mx) mx = t;
+        }
+        if (mn > mx) mn = mx;
+        min_t[g] = mn; max_t[g] = mx;
+    }
+    int64_t T = 1;
+    for (int64_t g = 0; g < G; g++) T = std::max(T, max_t[g] - min_t[g] + 1);
+    int64_t W0 = T * TK;
+    if (W0 > max_window || W0 > W) return -1;
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t g = 0; g < G; g++) {
+        ws[g] = (int32_t)(min_t[g] * TK);
+        int64_t r0 = g * TM, r1 = std::min(nrow, (g + 1) * TM);
+        int64_t base_col = min_t[g] * TK;
+        float* base = panels + g * TM * W;
+        for (int64_t r = r0; r < r1; r++) {
+            float* prow = base + (r - r0) * W;
+            for (int64_t j = rowptr[r]; j < rowptr[r + 1]; j++)
+                prow[colidx[j] - base_col] += val[j];
+        }
+    }
+    return W0;
+}
+
 // Matrix Market coordinate parser.  Two-phase: stat then read.
 // field: 0 real/double, 1 integer, 2 pattern.  symm: 0 general, 1 symmetric.
 int crp_mtx_stat(const char* path, int64_t* nrow, int64_t* ncol,

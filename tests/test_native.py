@@ -91,3 +91,30 @@ def test_native_mtx_reader(tmp_path):
     c = mm_read_sparse(f2)
     expect = np.array([[1.0, 1, 0], [1, 0, 1], [0, 1, 0]])
     np.testing.assert_array_equal(c.to_dense(), expect)
+
+
+def test_native_flat_pack_matches_numpy():
+    """Flat-panel native packer vs the numpy fallback, including chunk
+    padding of W."""
+    from crp_tpu import native
+    from crp_tpu.kernels.spmm_pallas import pack_window_dense
+
+    if not (native._load() and native.AVAILABLE):
+        pytest.skip("no native lib")
+    a = banded_random_csr(3000, nnz_per_row=8, bandwidth=900, seed=50)
+    ref = None
+    try:
+        import os
+
+        os.environ["CRP_TPU_NO_NATIVE"] = "1"
+        native._lib_saved, native._lib = native._lib, None
+        ref = pack_window_dense(a.rowptr, a.colidx, a.val.astype(np.float32),
+                                a.ncol, dtype=np.float32)
+    finally:
+        os.environ.pop("CRP_TPU_NO_NATIVE", None)
+        native._lib = native._lib_saved
+    got = pack_window_dense(a.rowptr, a.colidx, a.val.astype(np.float32),
+                            a.ncol, dtype=np.float32)
+    assert got.W == ref.W and got.G == ref.G
+    np.testing.assert_array_equal(got.ws, ref.ws)
+    np.testing.assert_array_equal(got.tiles, ref.tiles)
