@@ -77,8 +77,11 @@ class SpmmConfig:
         defaults favour fp32 compute (fp64 runs natively on the CPU backend
         used by the test mesh and is emulated on TPU).
     kernel:
-        Local SpMM kernel: "auto" | "jnp" (gather + segment-sum, runs
-        everywhere) | "pallas" (MXU windowed-ELL kernel, TPU only).
+        Local SpMM kernel: "auto" | "segsum" (gather + segment-sum, runs
+        everywhere) | "ell" | "pallas" (MXU windowed kernel) | "dd"
+        (double-float, fp64-class on TPU) | "pallas_halo" (fused kernel:
+        B halo rows RDMA-pushed between chips inside the kernel, compute
+        gated per chunk — banded/reordered matrices).
     overlap:
         Overlap the B-row exchange with compute (TPU-only design, no
         reference equivalent — SURVEY.md section 7 calls this out as new):

@@ -81,17 +81,47 @@ class RowParaSpmm:
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
         self.overlap = bool(self.config.overlap)
         self.is_dd = kind == "dd"
+        self.is_halo = kind == "pallas_halo"
         if self.is_dd and self.overlap:
             raise ValueError(
                 "kernel='dd' is incompatible with overlap=1: the per-shift "
                 "partial SpMM is plain fp32 and would lose the dd accuracy"
+            )
+        if self.is_halo and self.overlap:
+            raise ValueError(
+                "kernel='pallas_halo' fuses exchange and compute already; "
+                "overlap=1 has no meaning for it"
             )
 
         sharding = NamedSharding(self.mesh, P(self.axis))
         put = functools.partial(jax.device_put, device=sharding)
         self.max_k = int(max(np.diff(self.B_row_displs).max(), 1))
 
-        if self.overlap:
+        if self.is_halo:
+            from ..kernels.spmm_halo import align_displs, build_halo_plan
+
+            # the fused kernel owns the B partition: TK-aligned boundaries
+            self.B_row_displs = align_displs(
+                self.B_row_displs, int(self.B_row_displs[-1])
+            )
+            self.hplan = build_halo_plan(
+                shards, self.B_row_displs, dtype=self.dtype
+            )
+            hp = self.hplan
+            self.max_k = hp.max_k
+            self.max_m = max(self.max_m, hp.G * hp.TM)
+            self._halo_arrays = (
+                hp.ws_rel, hp.push_src, hp.push_dev, hp.push_dst,
+                hp.npush, hp.exp_from, hp.wait_bound,
+            )
+            self.d_halo = tuple(put(x) for x in self._halo_arrays)
+            self.d_panels = put(hp.a_panels)
+            self._tn = 256 if self.glb_n % 256 == 0 else 128
+            self._n_pad = -(-self.glb_n // self._tn) * self._tn
+            self.d_buf = put(
+                np.zeros((self.p, hp.buf_rows, self._n_pad), self.dtype)
+            )
+        elif self.overlap:
             self.ring = build_ring_spmm(
                 shards, self.xplan, self.B_row_displs, self.max_m,
                 self.dtype, kind, mxu_precision=self.config.mxu_precision,
@@ -140,7 +170,7 @@ class RowParaSpmm:
 
         self.b_sharding = NamedSharding(self.mesh, P(self.axis, None, None))
         self._exec_jit = self._make_exec()
-        if not self.overlap:
+        if not (self.overlap or self.is_halo):
             self._exchange_jit, self._spmm_jit = self._make_staged()
 
         # audit (reference: rB_recv_size, src/rowpara_spmm.c:149)
@@ -157,6 +187,40 @@ class RowParaSpmm:
     def _make_exec(self):
         specs = self._shard_specs()
         axis = self.axis
+
+        if self.is_halo:
+            from ..kernels.spmm_halo import halo_spmm_local
+
+            hp = self.hplan
+            interpret = jax.default_backend() != "tpu"
+            kw = dict(
+                p=self.p, TM=hp.TM, G=hp.G, W=hp.W, Wc=hp.Wc,
+                C_panel=hp.C_panel, TN=self._tn, interpret=interpret,
+                precision=(
+                    jax.lax.Precision.DEFAULT
+                    if self.config.mxu_precision == "default" else None
+                ),
+            )
+
+            def local(*args):
+                plan_arrays = tuple(x[0] for x in args[:7])
+                panels, b_loc, buf = args[7][0], args[8][0], args[9][0]
+                out, buf2 = halo_spmm_local(
+                    (plan_arrays[0], panels) + plan_arrays[1:],
+                    b_loc, buf, **kw,
+                )
+                return out[None].astype(b_loc.dtype), buf2[None]
+
+            in_specs = tuple(
+                P(axis, *([None] * (x.ndim - 1)))
+                for x in self._halo_arrays
+            ) + (P(axis, None, None, None), specs["b"], specs["b"])
+            fn = jax.shard_map(
+                local, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(specs["b"], specs["b"]), check_vma=False,
+            )
+            return jax.jit(fn, donate_argnums=(9,))
+
         nk = len(self.d_kernel)
 
         if self.overlap:
@@ -245,11 +309,15 @@ class RowParaSpmm:
             b = pack_b_dd(np.asarray(b, dtype=np.float64))
         else:
             b = np.asarray(b, dtype=self.dtype)
+        if self.is_halo and b.shape[1] < self._n_pad:
+            b = np.pad(b, ((0, 0), (0, self._n_pad - b.shape[1])))
         bs = shard_dense_rows(b, self.B_row_displs, pad_rows=self.max_k)
         return jax.device_put(bs, self.b_sharding)
 
     def unshard_c(self, c_shards) -> np.ndarray:
         c = unshard_dense_rows(np.asarray(c_shards), self.A_row_displs)
+        if self.is_halo and c.shape[1] > self.glb_n:
+            c = c[:, : self.glb_n]
         if self.is_dd:
             from ..kernels.spmm_dd import unpack_c_dd
 
@@ -264,6 +332,11 @@ class RowParaSpmm:
 
     def exec_device(self, b_shards: jax.Array) -> jax.Array:
         """Fused exchange + SpMM on pre-sharded B; returns (p, max_m, n) shards."""
+        if self.is_halo:
+            out, self.d_buf = self._exec_jit(
+                *self.d_halo, self.d_panels, b_shards, self.d_buf
+            )
+            return out
         if self.overlap:
             return self._exec_jit(
                 *self.d_kernel, *self.d_step, self.d_send_idx, b_shards
@@ -294,7 +367,7 @@ class RowParaSpmm:
         not separable — it is timed as one "exec" phase.
         """
         t = self.timer
-        if self.overlap:
+        if self.overlap or self.is_halo:
             c = self.exec_device(b_shards)
             with t.phase("exec", fence=c):
                 pass
@@ -316,17 +389,19 @@ class RowParaSpmm:
     def print_stat(self) -> str:
         """Stat table in the spirit of ``rp_spmm_print_stat``
         (``src/rowpara_spmm.c:425-464``)."""
-        ring = self.overlap or bool(self.config.rb_p2p)
+        if self.is_halo:
+            physical = self.hplan.halo_rows_pushed
+        elif self.overlap or self.config.rb_p2p:
+            physical = self.xplan.physical_rows_ring
+        else:
+            physical = self.xplan.physical_rows
         return format_stat_table(
             title="rp_spmm",
             t_init=self.t_init,
             timer=self.timer,
             comm_rows=self.rB_recv_size,
             glb_n=self.glb_n,
-            physical_rows=(
-                self.xplan.physical_rows_ring if ring
-                else self.xplan.physical_rows
-            ),
+            physical_rows=physical,
         )
 
     def clear_stat(self) -> None:

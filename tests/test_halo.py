@@ -1,0 +1,60 @@
+"""Fused halo-push windowed kernel tests (remote DMA in interpret mode).
+
+NOTE: meshes here use at most 7 of the 8 virtual devices — the pallas
+interpreter deadlocks when blocking cross-device semaphore waits occupy
+every host thread (real chips each have their own core).
+"""
+
+import numpy as np
+import pytest
+
+from crp_tpu.config import SpmmConfig
+from crp_tpu.engine.rowpara import RowParaSpmm
+from crp_tpu.plan.partition1d import csr_row_partition
+from crp_tpu.sparse.synth import banded_random_csr, powerlaw_random_csr, fill_b
+from crp_tpu.shard.layout import make_mesh_1d
+from crp_tpu.utils.norms import rel_fro_err
+
+
+@pytest.mark.parametrize("p,n", [(1, 16), (4, 32), (7, 128)])
+def test_halo_engine_matches_reference(p, n, devices8):
+    a = banded_random_csr(2048, nnz_per_row=7, bandwidth=60, seed=60)
+    displs = csr_row_partition(a.rowptr, p)
+    eng = RowParaSpmm(a, displs, displs, n, mesh=make_mesh_1d(p, devices=devices8),
+                      config=SpmmConfig(kernel="pallas_halo"), dtype=np.float64)
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+    # exec is repeatable: the window buffer threads through execs
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_halo_audit_and_stat(devices8):
+    a = banded_random_csr(1024, nnz_per_row=5, bandwidth=30, seed=62)
+    displs = csr_row_partition(a.rowptr, 4)
+    eng = RowParaSpmm(a, displs, displs, 16, mesh=make_mesh_1d(4, devices=devices8),
+                      config=SpmmConfig(kernel="pallas_halo"), dtype=np.float32)
+    # physical pushes cover at least the logical requirement
+    assert eng.hplan.halo_rows_pushed >= eng.rB_recv_size
+    b = np.asarray(fill_b(0, a.ncol, 0, 16, dtype=np.float32))
+    bs = eng.shard_b(b)
+    eng.exec_timed(bs)
+    assert "Total exec()" in eng.print_stat()
+
+
+def test_halo_rejects_non_banded():
+    from crp_tpu.kernels.spmm_halo import align_displs, build_halo_plan
+    from crp_tpu.kernels.spmm_pallas import UnsupportedSparsity
+
+    a = powerlaw_random_csr(3000, avg_degree=5, seed=63)
+    displs = align_displs(csr_row_partition(a.rowptr, 4), a.ncol)
+    shards = [a.row_slice(int(displs[i]), int(displs[i + 1])) for i in range(4)]
+    with pytest.raises(UnsupportedSparsity):
+        build_halo_plan(shards, displs, max_window=512)
+
+
+def test_halo_rejects_overlap(devices8):
+    a = banded_random_csr(300, nnz_per_row=5, bandwidth=20, seed=64)
+    displs = csr_row_partition(a.rowptr, 2)
+    with pytest.raises(ValueError, match="halo"):
+        RowParaSpmm(a, displs, displs, 8, mesh=make_mesh_1d(2, devices=devices8),
+                    config=SpmmConfig(kernel="pallas_halo", overlap=1))

@@ -164,3 +164,18 @@ def test_rowpara_pallas_kernel(devices8):
                       config=SpmmConfig(kernel="pallas"))
     b = np.asarray(fill_b(0, a.ncol, 0, 8))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_rowpara_bfloat16(devices8):
+    """bf16 storage + compute end-to-end (the TPU memory-saving mode)."""
+    import jax.numpy as jnp
+
+    a = banded_random_csr(400, nnz_per_row=6, bandwidth=30, seed=41)
+    displs = csr_row_partition(a.rowptr, 4)
+    mesh = make_mesh_1d(4, devices=devices8)
+    eng = RowParaSpmm(a, displs, displs, 16, mesh=mesh, dtype=jnp.bfloat16)
+    b = np.asarray(fill_b(0, a.ncol, 0, 16, dtype=np.float32))
+    c = eng.exec(b)
+    assert c.dtype == jnp.bfloat16
+    assert rel_fro_err(a.spmm_ref(b.astype(np.float64)),
+                       c.astype(np.float64)) <= 3e-2
