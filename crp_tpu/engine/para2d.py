@@ -79,10 +79,16 @@ class Para2dSpmm:
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
         self.overlap = bool(self.config.overlap)
         self.is_dd = kind == "dd"
+        self.is_halo = kind == "pallas_halo"
         if self.is_dd and self.overlap:
             raise ValueError(
                 "kernel='dd' is incompatible with overlap=1: the per-shift "
                 "partial SpMM is plain fp32 and would lose the dd accuracy"
+            )
+        if self.is_halo and self.overlap:
+            raise ValueError(
+                "kernel='pallas_halo' fuses exchange and compute already; "
+                "overlap=1 has no meaning for it"
             )
         self.max_k = int(max(np.diff(plan.B_rowptr).max(), 1))
 
@@ -92,7 +98,36 @@ class Para2dSpmm:
                 a, NamedSharding(self.mesh, P("pm", *([None] * (a.ndim - 1))))
             )
 
-        if self.overlap:
+        if self.is_halo:
+            from ..kernels.spmm_halo import align_displs, build_halo_plan
+
+            # the fused kernel owns the B row partition: TK-aligned
+            self._halo_B_rowptr = align_displs(
+                plan.B_rowptr, int(plan.B_rowptr[-1])
+            )
+            self.hplan = build_halo_plan(
+                panels, self._halo_B_rowptr, dtype=self.dtype
+            )
+            hp = self.hplan
+            self.max_k = hp.max_k
+            self.max_m = max(self.max_m, hp.G * hp.TM)
+            self._halo_arrays = (
+                hp.ws_rel, hp.push_src, hp.push_dev, hp.push_dst,
+                hp.npush, hp.exp_from, hp.wait_bound,
+            )
+            self.d_halo = tuple(put_pm(x) for x in self._halo_arrays)
+            self.d_panels = put_pm(hp.a_panels)
+            self._tn = 128
+            nloc = int(max(np.diff(plan.BC_colptr).max(), 1))
+            self._nloc_pad = -(-nloc // self._tn) * self._tn
+            self.d_buf = jax.device_put(
+                np.zeros(
+                    (self.pm, self.pn, hp.buf_rows, self._nloc_pad),
+                    self.dtype,
+                ),
+                NamedSharding(self.mesh, P("pm", "pn", None, None)),
+            )
+        elif self.overlap:
             self.ring = build_ring_spmm(
                 panels, self.xplan, plan.B_rowptr, self.max_m, self.dtype,
                 kind, mxu_precision=self.config.mxu_precision,
@@ -149,9 +184,43 @@ class Para2dSpmm:
         self.rB_recv_size = int(self.xplan.total_recv_rows)  # rows, x n when printed
 
     def _make_exec(self):
-        nk = len(self.d_kernel)
         pmspec = P("pm", None)
         bspec = P("pm", "pn", None, None)
+
+        if self.is_halo:
+            from ..kernels.spmm_halo import halo_spmm_local
+
+            hp = self.hplan
+            interpret = jax.default_backend() != "tpu"
+            kw = dict(
+                p=self.pm, pn_size=self.pn, TM=hp.TM, G=hp.G, W=hp.W,
+                Wc=hp.Wc, C_panel=hp.C_panel, TN=self._tn,
+                interpret=interpret,
+                precision=(
+                    jax.lax.Precision.DEFAULT
+                    if self.config.mxu_precision == "default" else None
+                ),
+            )
+
+            def local(*args):
+                plan_arrays = tuple(x[0] for x in args[:7])
+                panels, b_loc, buf = args[7][0], args[8][0, 0], args[9][0, 0]
+                out, buf2 = halo_spmm_local(
+                    (plan_arrays[0], panels) + plan_arrays[1:],
+                    b_loc, buf, **kw,
+                )
+                return out[None, None].astype(b_loc.dtype), buf2[None, None]
+
+            in_specs = tuple(
+                P("pm", *([None] * (x.ndim - 1))) for x in self._halo_arrays
+            ) + (P("pm", None, None, None), bspec, bspec)
+            fn = jax.shard_map(
+                local, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(bspec, bspec), check_vma=False,
+            )
+            return jax.jit(fn, donate_argnums=(9,))
+
+        nk = len(self.d_kernel)
 
         if self.overlap:
             self_fn = self.ring.self_fn
@@ -208,15 +277,21 @@ class Para2dSpmm:
         so the kernel's midpoint split stays aligned for narrow blocks.
         """
         plan = self.plan
-        w = 2 * self.max_nloc if self.is_dd else self.max_nloc
+        if self.is_dd:
+            w = 2 * self.max_nloc
+        elif self.is_halo:
+            w = self._nloc_pad
+        else:
+            w = self.max_nloc
         dt = np.float32 if self.is_dd else self.dtype
         out = np.zeros((self.pm, self.pn, self.max_k, w), dtype=dt)
         if self.is_dd:
             from ..kernels.spmm_dd import split_f64
 
             bhi, blo = split_f64(np.asarray(b, dtype=np.float64))
+        row_displs = self._halo_B_rowptr if self.is_halo else plan.B_rowptr
         for i in range(self.pm):
-            r0, r1 = int(plan.B_rowptr[i]), int(plan.B_rowptr[i + 1])
+            r0, r1 = int(row_displs[i]), int(row_displs[i + 1])
             for j in range(self.pn):
                 c0, c1 = int(plan.BC_colptr[j]), int(plan.BC_colptr[j + 1])
                 if self.is_dd:
@@ -251,6 +326,11 @@ class Para2dSpmm:
         return out
 
     def exec_device(self, b_shards: jax.Array) -> jax.Array:
+        if self.is_halo:
+            out, self.d_buf = self._exec_jit(
+                *self.d_halo, self.d_panels, b_shards, self.d_buf
+            )
+            return out
         if self.overlap:
             return self._exec_jit(
                 *self.d_kernel, *self.d_step, self.d_send_idx, b_shards

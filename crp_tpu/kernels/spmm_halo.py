@@ -174,7 +174,7 @@ def _halo_kernel(
     o_ref, buf_out,
     # scratch
     window, dma_sem, owner_sem, send_sem, hw_ref,
-    *, p, Wc, TN, NJ, C, compute_dtype, precision, use_barrier,
+    *, p, pn_size, Wc, TN, NJ, C, compute_dtype, precision, use_barrier,
 ):
     import jax
     import jax.numpy as jnp
@@ -187,22 +187,25 @@ def _halo_kernel(
     step = (g * NJ + jn) * C + t
     total = pl.num_programs(0) * NJ * C
 
+    # logical device ids are flattened over the mesh; a pm-peer on a 2D
+    # (pm, pn) grid is pm_idx * pn_size + my column index
+    col = jax.lax.axis_index("pn") if pn_size > 1 else jnp.int32(0)
+
     # ---------------- step 0: barrier, then fire all halo pushes ----------
     @pl.when(step == 0)
     def _():
+        me = jax.lax.axis_index("pm")
         if use_barrier and p > 1:
-            me = jax.lax.axis_index("pm")
             bar = pltpu.get_barrier_semaphore()
             for i in range(p):
                 @pl.when(jnp.int32(i) != me)
                 def _(i=i):
                     pltpu.semaphore_signal(
-                        bar, inc=1, device_id=jnp.int32(i),
+                        bar, inc=1,
+                        device_id=jnp.int32(i) * pn_size + col,
                         device_id_type=pltpu.DeviceIdType.LOGICAL,
                     )
             pltpu.semaphore_wait(bar, p - 1)
-
-        me = jax.lax.axis_index("pm")
 
         def push_body(k, _):
             rdma = pltpu.make_async_remote_copy(
@@ -215,7 +218,7 @@ def _halo_kernel(
                 send_sem=send_sem.at[0],
                 # receiver's slot indexed by the SENDER's shard id
                 recv_sem=owner_sem.at[me],
-                device_id=push_dev_ref[k],
+                device_id=push_dev_ref[k] * pn_size + col,
                 device_id_type=pltpu.DeviceIdType.LOGICAL,
             )
             rdma.start()
@@ -314,7 +317,8 @@ def halo_spmm_local(
     plan_arrays: tuple,      # this shard's slices of the HaloPlan arrays
     b_loc,                   # (max_k, n_pad) owned B rows (padded)
     buf,                     # (buf_rows, n_pad) persistent window buffer
-    *, p, TM, G, W, Wc, C_panel, TN, precision=None, interpret=False,
+    *, p, TM, G, W, Wc, C_panel, TN, pn_size=1, precision=None,
+    interpret=False,
 ):
     """Device-side fused exec for one shard (inside shard_map over 'pm').
 
@@ -337,7 +341,7 @@ def halo_spmm_local(
         precision = jax.lax.Precision.HIGHEST
     kern = functools.partial(
         _halo_kernel,
-        p=p, Wc=Wc, TN=TN, NJ=NJ, C=C_panel,
+        p=p, pn_size=pn_size, Wc=Wc, TN=TN, NJ=NJ, C=C_panel,
         compute_dtype=a_panels.dtype, precision=precision,
         use_barrier=not interpret,
     )

@@ -58,3 +58,21 @@ def test_halo_rejects_overlap(devices8):
     with pytest.raises(ValueError, match="halo"):
         RowParaSpmm(a, displs, displs, 8, mesh=make_mesh_1d(2, devices=devices8),
                     config=SpmmConfig(kernel="pallas_halo", overlap=1))
+
+
+def test_halo_para2d_grid(devices8):
+    """Fused halo exec on a 2D pm x pn mesh: pushes along pm inside each
+    column group, flattened logical device ids."""
+    from crp_tpu.engine.para2d import Para2dSpmm
+    from crp_tpu.shard.layout import make_mesh_2d
+    from tests.test_para2d import force_plan
+
+    a = banded_random_csr(2048, nnz_per_row=7, bandwidth=60, seed=65)
+    n = 20
+    plan = force_plan(a, n, 3, 2)  # 6 of 8 devices (interpreter headroom)
+    mesh = make_mesh_2d(3, 2, devices=devices8)
+    eng = Para2dSpmm(a, plan, mesh=mesh,
+                     config=SpmmConfig(kernel="pallas_halo"), dtype=np.float64)
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
