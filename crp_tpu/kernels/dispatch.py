@@ -68,7 +68,27 @@ def pack_local_kernel(
         return _pack_pallas(shards, max_m, dtype, mxu_precision)
 
     if kind == "dd":
-        from .spmm_dd import pack_coo_dd, spmm_segsum_dd
+        from .spmm_dd import (
+            pack_coo_dd, pack_ell_dd, spmm_ell_dd, spmm_segsum_dd,
+        )
+
+        L = max(max(int(np.diff(r).max()) for r, _, _ in shards), 1)
+        if L <= 128:
+            # bounded degree: per-row sequential accumulation (L unrolled
+            # VPU passes) — the segmented scan's log2(nnz) full-width
+            # levels blow compile memory at millions of nonzeros
+            cols, vhs, vls = [], [], []
+            for rowptr, cc, v in shards:
+                c, vh, vl = pack_ell_dd(
+                    rowptr, cc, np.asarray(v, np.float64), max_m, L=L
+                )
+                cols.append(c); vhs.append(vh); vls.append(vl)
+            arrays = (np.stack(cols), np.stack(vhs), np.stack(vls))
+
+            def local_fn(arrs, rB_packed):
+                return spmm_ell_dd(arrs[0], arrs[1], arrs[2], rB_packed)
+
+            return arrays, local_fn
 
         nnz_pad = max(max(int(r[-1] - r[0]) for r, _, _ in shards), 0) + 1
         packs = [
