@@ -2,8 +2,8 @@
 
 Usage: crp-bench <mtx-file|synth:spec> <num-of-B-col> <num-of-tests>
                  <part-method> [<check-correct>] [--engine=para2d|rowpara|crp]
-                 [--kernel=auto|segsum|ell|pallas] [--dtype=float32|float64]
-                 [--devices=N]
+                 [--kernel=auto|segsum|ell|pallas|pallas_halo|dd]
+                 [--dtype=float32|float64] [--devices=N] [--profile=DIR]
 
 Mirrors the reference CLI (``README.md:33-40``): plan -> distribute ->
 replicate A -> timed exec loop -> stats -> optional ``||C_ref - C||_F``
@@ -102,10 +102,18 @@ def main(argv=None) -> int:
     b = np.asarray(fill_b(0, a.ncol, 0, glb_n, dtype=dtype))
     c = eng.exec(b)  # warm-up (compile)
     eng.clear_stat()
+    profile_dir = opt.get("profile")
+    if profile_dir:
+        # device-level trace (the reference's phase timers only see host
+        # fences; jax.profiler sees the XLA/TPU timeline)
+        jax.profiler.start_trace(profile_dir)
     for _ in range(n_test):
         st = time.perf_counter()
         c = eng.exec(b)
         print(f"{time.perf_counter()-st:.4f}")
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {profile_dir}")
     print(eng.print_stat())
 
     if chk_res:

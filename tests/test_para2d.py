@@ -116,3 +116,28 @@ def test_para2d_rB_volume_equals_plan_prediction(devices8):
         pytest.skip("planner chose full replication; no B exchange")
     eng = Para2dSpmm(a, plan, mesh=make_mesh_2d(plan.pm, plan.pn, devices=devices8))
     assert eng.rB_recv_size * plan.n == plan.rB_cost
+
+
+def test_para2d_spmv_n1(devices8):
+    """n=1 (the reference's vary_n lower end, plot_vary_n2.m)."""
+    a = banded_random_csr(600, nnz_per_row=6, bandwidth=30, seed=70)
+    plan = plan_from_csr(a, 1, 8)
+    eng = Para2dSpmm(a, plan,
+                     mesh=make_mesh_2d(plan.pm, plan.pn, devices=devices8))
+    b = np.asarray(fill_b(0, a.ncol, 0, 1))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_para2d_rectangular_planner(devices8):
+    """m != k through the planner (uniform B rows, m==k rule off)."""
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    a0 = banded_random_csr(500, nnz_per_row=6, bandwidth=40, seed=71)
+    keep = a0.colidx < 300
+    rows = np.repeat(np.arange(a0.nrow), np.diff(a0.rowptr))[keep]
+    a = CSRMatrix.from_coo(500, 300, rows, a0.colidx[keep], a0.val[keep])
+    plan = plan_from_csr(a, 16, 8)
+    eng = Para2dSpmm(a, plan,
+                     mesh=make_mesh_2d(plan.pm, plan.pn, devices=devices8))
+    b = np.asarray(fill_b(0, 300, 0, 16))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12

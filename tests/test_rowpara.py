@@ -179,3 +179,17 @@ def test_rowpara_bfloat16(devices8):
     assert c.dtype == jnp.bfloat16
     assert rel_fro_err(a.spmm_ref(b.astype(np.float64)),
                        c.astype(np.float64)) <= 3e-2
+
+
+def test_rowpara_matrix_with_empty_rows(devices8):
+    """Rows without nonzeros and a sparse tail (scatter drop paths)."""
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    rows = np.array([0, 0, 5, 9])
+    cols = np.array([1, 3, 2, 9])
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    a = CSRMatrix.from_coo(10, 10, rows, cols, vals)
+    eng = RowParaSpmm(a, csr_row_partition(a.rowptr, 2), np.array([0, 5, 10]),
+                      4, mesh=make_mesh_1d(2, devices=devices8))
+    b = np.asarray(fill_b(0, 10, 0, 4))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
