@@ -1,0 +1,76 @@
+"""Cross-engine/kernel randomized consistency sweep.
+
+Every engine x kernel x schedule combination must agree with the fp64
+reference on randomly drawn matrices and shapes — the mechanized version of
+the reference's single acceptance check applied across the whole config
+matrix (the reference only ever tests one path per driver run).
+"""
+
+import numpy as np
+import pytest
+
+from crp_tpu.config import SpmmConfig
+from crp_tpu.engine.para2d import Para2dSpmm
+from crp_tpu.engine.rowpara import RowParaSpmm
+from crp_tpu.plan.planner2d import plan_from_csr
+from crp_tpu.plan.partition1d import csr_row_partition
+from crp_tpu.sparse.synth import banded_random_csr, powerlaw_random_csr, fill_b
+from crp_tpu.shard.layout import make_mesh_1d, make_mesh_2d
+from crp_tpu.utils.blocks import uniform_displs
+from crp_tpu.utils.norms import rel_fro_err
+
+
+def _random_case(rng):
+    if rng.random() < 0.5:
+        a = banded_random_csr(
+            int(rng.integers(200, 1200)),
+            nnz_per_row=int(rng.integers(3, 12)),
+            bandwidth=int(rng.integers(10, 80)),
+            seed=int(rng.integers(1 << 30)),
+        )
+    else:
+        a = powerlaw_random_csr(
+            int(rng.integers(200, 1200)),
+            avg_degree=int(rng.integers(4, 14)),
+            seed=int(rng.integers(1 << 30)),
+        )
+    n = int(rng.integers(1, 40))
+    return a, n
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_rowpara_configs(trial, devices8):
+    rng = np.random.default_rng(1000 + trial)
+    a, n = _random_case(rng)
+    p = int(rng.choice([2, 3, 4, 7]))
+    cfg = SpmmConfig(
+        rb_p2p=int(rng.integers(0, 2)),
+        rb_reidx=int(rng.integers(0, 2)),
+        overlap=int(rng.random() < 0.3),
+        kernel=str(rng.choice(["segsum", "ell", "dd"])),
+    )
+    if cfg.kernel == "dd" and cfg.overlap:
+        cfg.overlap = 0
+    displs = csr_row_partition(a.rowptr, p)
+    b_displs = displs if a.nrow == a.ncol else uniform_displs(a.ncol, p)
+    eng = RowParaSpmm(a, displs, b_displs, n,
+                      mesh=make_mesh_1d(p, devices=devices8), config=cfg)
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    err = rel_fro_err(a.spmm_ref(b), eng.exec(b))
+    assert err <= 1e-12, (err, cfg, a.nrow, a.nnz, n, p)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_para2d_planner(trial, devices8):
+    rng = np.random.default_rng(2000 + trial)
+    a, n = _random_case(rng)
+    nproc = int(rng.choice([4, 6, 8]))
+    plan = plan_from_csr(a, n, nproc)
+    cfg = SpmmConfig(overlap=int(rng.random() < 0.5))
+    eng = Para2dSpmm(
+        a, plan, mesh=make_mesh_2d(plan.pm, plan.pn, devices=devices8),
+        config=cfg,
+    )
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    err = rel_fro_err(a.spmm_ref(b), eng.exec(b))
+    assert err <= 1e-12, (err, plan.pm, plan.pn, a.nrow, a.nnz, n)
