@@ -198,7 +198,10 @@ class Para2dSpmm:
                 interpret=interpret,
                 precision=(
                     jax.lax.Precision.DEFAULT
-                    if self.config.mxu_precision == "default" else None
+                    if self.config.mxu_precision == "default"
+                    else self.config.mxu_precision
+                    if self.config.mxu_precision == "x3"
+                    else None
                 ),
             )
 

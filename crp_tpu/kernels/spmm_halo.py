@@ -283,13 +283,28 @@ def _halo_kernel(
         jnp.float64 if jnp.dtype(compute_dtype) == jnp.float64
         else jnp.float32
     )
-    partial = jax.lax.dot_general(
-        a_ref[0].astype(compute_dtype),
-        window[slot].astype(compute_dtype),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
-        precision=precision,
-    )
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "x3":
+        # 3-pass bf16 split (see spmm_pallas._window_kernel)
+        a32 = a_ref[0].astype(jnp.float32)
+        b32 = window[slot].astype(jnp.float32)
+        ah = a32.astype(jnp.bfloat16)
+        al = (a32 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b32.astype(jnp.bfloat16)
+        bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        partial = dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+    else:
+        partial = jax.lax.dot_general(
+            a_ref[0].astype(compute_dtype),
+            window[slot].astype(compute_dtype),
+            dims,
+            preferred_element_type=acc_dtype,
+            precision=precision,
+        )
 
     @pl.when(t == 0)
     def _():
@@ -339,6 +354,8 @@ def halo_spmm_local(
     if precision is None and np.dtype(a_panels.dtype) == np.float32:
         # match the unfused windowed kernel: fp32 data computes exactly
         precision = jax.lax.Precision.HIGHEST
+    if precision == "x3" and np.dtype(a_panels.dtype) != np.float32:
+        precision = None
     kern = functools.partial(
         _halo_kernel,
         p=p, pn_size=pn_size, Wc=Wc, TN=TN, NJ=NJ, C=C_panel,

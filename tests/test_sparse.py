@@ -130,3 +130,29 @@ def test_make_mesh_auto_shapes(devices8):
         assert mesh.devices.shape == (pm, pn)
         assert mesh.axis_names == ("pm", "pn")
         assert len({d.id for d in mesh.devices.flat}) == pm * pn
+
+
+def test_mmio_pattern_and_integer_fields(tmp_path):
+    """Reference reads real/pattern/integer .mtx (mmio_utils.c:11-125);
+    pattern entries become 1.0, symmetric storage is mirrored."""
+    from crp_tpu.sparse.mmio import mm_read_sparse
+
+    pat = tmp_path / "p.mtx"
+    pat.write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n"
+        "3 3 3\n1 1\n2 1\n3 2\n"
+    )
+    a = mm_read_sparse(str(pat), need_symm=True)
+    d = a.to_scipy().toarray()
+    exp = np.array([[1, 1, 0], [1, 0, 1], [0, 1, 0]], dtype=np.float64)
+    np.testing.assert_array_equal(d, exp)
+
+    ints = tmp_path / "i.mtx"
+    ints.write_text(
+        "%%MatrixMarket matrix coordinate integer general\n"
+        "2 3 3\n1 1 5\n2 2 -7\n1 3 2\n"
+    )
+    a = mm_read_sparse(str(ints))
+    d = a.to_scipy().toarray()
+    exp = np.array([[5, 0, 2], [0, -7, 0]], dtype=np.float64)
+    np.testing.assert_array_equal(d, exp)
