@@ -94,7 +94,7 @@ def main(argv=None) -> int:
         eng = CrpSpmm(
             a, glb_n, user_B, user_C, nproc=nproc,
             mesh=make_mesh_auto(bp.np_row, bp.np_col),
-            config=config, dtype=dtype,
+            config=config, dtype=dtype, bplan=bp,
         )
     else:
         raise SystemExit(f"unknown engine {engine_kind}")

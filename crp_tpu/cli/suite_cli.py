@@ -97,7 +97,7 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check):
         eng = CrpSpmm(
             a, n, user_B, user_C, nproc=p,
             mesh=make_mesh_auto(bp.np_row, bp.np_col),
-            config=config, dtype=dtype,
+            config=config, dtype=dtype, bplan=bp,
         )
         rec["comm"] = dict(
             redist_A=eng.nelem_A_rd, allgatherv_A=eng.nelem_A_agv,

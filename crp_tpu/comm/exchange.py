@@ -76,6 +76,20 @@ def build_b_exchange(
     """
     B_row_displs = np.asarray(B_row_displs, dtype=np.int64)
     p = len(shard_colidx)
+    # every referenced B row must have an owner — rows outside the
+    # ownership range would otherwise be silently dropped (wrong results)
+    for i, cols in enumerate(shard_colidx):
+        if len(cols) and (
+            int(np.min(cols)) < int(B_row_displs[0])
+            or int(np.max(cols)) >= int(B_row_displs[-1])
+        ):
+            raise ValueError(
+                f"shard {i} references B rows outside the ownership range "
+                f"[{B_row_displs[0]}, {B_row_displs[-1]}): cols span "
+                f"[{np.min(cols)}, {np.max(cols)}]. The B_row_displs "
+                f"partition must cover all referenced rows (for square "
+                f"matrices extend the last row-block boundary to k)."
+            )
     refs = []       # per shard: sorted unique referenced global rows
     rowmaps = []    # per shard: map from referenced global row -> compact idx
     rB_nrow = np.zeros(p, dtype=np.int64)

@@ -73,9 +73,10 @@ class SpmmConfig:
         contiguous [min_col, max_col] panels (``A2A_B_FINEGRAIN``,
         ``deprecated/src/crpspmm.c:294-396``).
     dtype:
-        Value dtype for A/B/C.  The reference is fp64-only; on TPU the
-        defaults favour fp32 compute (fp64 runs natively on the CPU backend
-        used by the test mesh and is emulated on TPU).
+        Value dtype for A/B/C when the engine constructor does not receive
+        an explicit ``dtype``.  Defaults to fp64 like the reference (runs
+        natively on CPU meshes); TPU runs typically pass float32, or use
+        kernel="dd" for fp64-class accuracy on fp32 hardware.
     kernel:
         Local SpMM kernel: "auto" | "segsum" (gather + segment-sum, runs
         everywhere) | "ell" | "pallas" (MXU windowed kernel) | "dd"
@@ -94,7 +95,7 @@ class SpmmConfig:
     rb_p2p: int = 1
     rb_reidx: int = 1
     a2a_b_finegrain: int = 0
-    dtype: str = "float32"
+    dtype: str = "float64"
     kernel: str = "auto"
     overlap: int = 0
     # MXU pass scheme for fp32 data in the pallas kernel:
@@ -110,7 +111,7 @@ class SpmmConfig:
             a2a_b_finegrain=get_env_int(
                 "A2A_B_FINEGRAIN", 0, 0, 1, var_name="a2a_B_finegrain"
             ),
-            dtype=os.environ.get("CRP_TPU_DTYPE", "float32"),
+            dtype=os.environ.get("CRP_TPU_DTYPE", "float64"),
             kernel=os.environ.get("CRP_TPU_KERNEL", "auto"),
             overlap=get_env_int("CRP_TPU_OVERLAP", 0, 0, 1, var_name="overlap"),
             mxu_precision=os.environ.get("CRP_TPU_MXU_PREC", "highest"),

@@ -55,25 +55,27 @@ class CrpSpmm:
         nproc: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         config: Optional[SpmmConfig] = None,
-        dtype=np.float64,
+        dtype=None,  # default: SpmmConfig.dtype
+        bplan=None,  # precomputed BandwidthPlan (skips re-planning)
     ) -> None:
         self.config = config or SpmmConfig()
         self.a = a
         self.m, self.k, self.n = a.nrow, a.ncol, n
         self.nproc = nproc or user_B.p
         assert user_B.p == self.nproc and user_C.p == self.nproc
-        self.dtype = np.dtype(dtype)
+        self.dtype = np.dtype(dtype if dtype is not None else self.config.dtype)
         self.timer = Timer()
         t0 = Timer()
         with t0.phase("init"):
-            self._build(a, user_B, user_C, mesh)
+            self._build(a, user_B, user_C, mesh, bplan)
         self.t_init = t0.t["init"]
 
     # ------------------------------------------------------------------ init
-    def _build(self, a, user_B, user_C, mesh) -> None:
+    def _build(self, a, user_B, user_C, mesh, bplan=None) -> None:
         p = self.nproc
-        # 1. bandwidth-bound planner (v1, crpspmm.c:133-195)
-        bp = calc_bandwidth_part2d(
+        # 1. bandwidth-bound planner (v1, crpspmm.c:133-195) — or a plan
+        # the caller already computed (the CLIs plan first for the mesh)
+        bp = bplan if bplan is not None else calc_bandwidth_part2d(
             p, self.m, self.n, self.k, a.rowptr, a.row_col_ranges()
         )
         self.bplan = bp
@@ -118,10 +120,17 @@ class CrpSpmm:
                 cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
             shards_compact.append((s.rowptr, cc, s.val))
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
-        arrays, self._local_fn = pack_local_kernel(
-            shards_compact, self.max_m, self.dtype, kind,
-            mxu_precision=self.config.mxu_precision,
-        )
+        from ..kernels.spmm_pallas import UnsupportedSparsity
+
+        try:
+            arrays, self._local_fn = pack_local_kernel(
+                shards_compact, self.max_m, self.dtype, kind,
+                mxu_precision=self.config.mxu_precision,
+            )
+        except UnsupportedSparsity:
+            arrays, self._local_fn = pack_local_kernel(
+                shards_compact, self.max_m, self.dtype, "segsum"
+            )
         self._rb_rows = max(
             self.xplan.rB_nrow_max, getattr(self._local_fn, "min_b_rows", 1), 1
         )

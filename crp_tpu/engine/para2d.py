@@ -27,14 +27,19 @@ import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import logging
+
 from ..config import SpmmConfig
 from ..comm.exchange import build_b_exchange, exchange_b, exchange_b_ring
+from ..kernels.spmm_pallas import UnsupportedSparsity
 from ..comm.ring import build_ring_spmm, ring_spmm
 from ..kernels.dispatch import pack_local_kernel
 from ..plan.planner2d import Plan2D, NNZ_COST_FACTOR
 from ..shard.layout import make_mesh_2d
 from ..utils.timers import Timer
 from .stats import format_stat_table
+
+logger = logging.getLogger("crp_tpu")
 
 
 class Para2dSpmm:
@@ -46,14 +51,14 @@ class Para2dSpmm:
         plan: Plan2D,
         mesh: Optional[jax.sharding.Mesh] = None,
         config: Optional[SpmmConfig] = None,
-        dtype=np.float64,
+        dtype=None,  # default: SpmmConfig.dtype
     ) -> None:
         self.config = config or SpmmConfig()
         self.plan = plan
         self.pm, self.pn = plan.pm, plan.pn
         self.glb_n = plan.n
         self.mesh = mesh if mesh is not None else make_mesh_2d(self.pm, self.pn)
-        self.dtype = np.dtype(dtype)
+        self.dtype = np.dtype(dtype if dtype is not None else self.config.dtype)
         self.timer = Timer()
         t0 = Timer()
         with t0.phase("init"):
@@ -72,9 +77,17 @@ class Para2dSpmm:
         ]
         self.max_m = max(max(p_.nrow for p_ in panels), 1)
 
+        # B ownership must cover every column of A; the planner's B_rowptr
+        # copies the nnz-balanced row blocks verbatim for m == k (reference
+        # spmat_part.c:175-178), which exclude trailing empty rows — extend
+        # internally (plan arrays stay reference-identical for the oracle)
+        self._B_displs = np.asarray(plan.B_rowptr, dtype=np.int64).copy()
+        if int(self._B_displs[-1]) < a.ncol:
+            self._B_displs[-1] = a.ncol
+
         reidx = bool(self.config.rb_reidx)
         self.xplan = build_b_exchange(
-            [p_.colidx for p_ in panels], plan.B_rowptr, reidx=reidx
+            [p_.colidx for p_ in panels], self._B_displs, reidx=reidx
         )
         kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
         self.overlap = bool(self.config.overlap)
@@ -90,7 +103,7 @@ class Para2dSpmm:
                 "kernel='pallas_halo' fuses exchange and compute already; "
                 "overlap=1 has no meaning for it"
             )
-        self.max_k = int(max(np.diff(plan.B_rowptr).max(), 1))
+        self.max_k = int(max(np.diff(self._B_displs).max(), 1))
 
         # P('pm', None, ...): replicated along pn — the all-gather-A equivalent
         def put_pm(a):
@@ -103,11 +116,20 @@ class Para2dSpmm:
 
             # the fused kernel owns the B row partition: TK-aligned
             self._halo_B_rowptr = align_displs(
-                plan.B_rowptr, int(plan.B_rowptr[-1])
+                self._B_displs, int(self._B_displs[-1])
             )
-            self.hplan = build_halo_plan(
-                panels, self._halo_B_rowptr, dtype=self.dtype
-            )
+            try:
+                self.hplan = build_halo_plan(
+                    panels, self._halo_B_rowptr, dtype=self.dtype
+                )
+            except UnsupportedSparsity as e:
+                logger.warning(
+                    "pallas_halo unavailable (%s); falling back to the "
+                    "unfused pallas path", e,
+                )
+                self.is_halo = False
+                kind = "pallas"
+        if self.is_halo:
             hp = self.hplan
             self.max_k = hp.max_k
             self.max_m = max(self.max_m, hp.G * hp.TM)
@@ -129,7 +151,7 @@ class Para2dSpmm:
             )
         elif self.overlap:
             self.ring = build_ring_spmm(
-                panels, self.xplan, plan.B_rowptr, self.max_m, self.dtype,
+                panels, self.xplan, self._B_displs, self.max_m, self.dtype,
                 kind, mxu_precision=self.config.mxu_precision,
             )
             self.d_kernel = tuple(put_pm(a) for a in self.ring.self_arrays)
@@ -154,10 +176,19 @@ class Para2dSpmm:
                 else:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
-            arrays, self._local_fn = pack_local_kernel(
-                shards_compact, self.max_m, self.dtype, kind,
-                mxu_precision=self.config.mxu_precision,
-            )
+            try:
+                arrays, self._local_fn = pack_local_kernel(
+                    shards_compact, self.max_m, self.dtype, kind,
+                    mxu_precision=self.config.mxu_precision,
+                )
+            except UnsupportedSparsity as e:
+                logger.warning(
+                    "kernel=%r rejected this sparsity (%s); falling back "
+                    "to segsum", kind, e,
+                )
+                arrays, self._local_fn = pack_local_kernel(
+                    shards_compact, self.max_m, self.dtype, "segsum"
+                )
             # the pallas windowed kernel needs rB padded so window DMAs stay
             # in-bounds; extra rows only ever meet zero A-tile columns
             self._rb_rows = max(
@@ -292,7 +323,7 @@ class Para2dSpmm:
             from ..kernels.spmm_dd import split_f64
 
             bhi, blo = split_f64(np.asarray(b, dtype=np.float64))
-        row_displs = self._halo_B_rowptr if self.is_halo else plan.B_rowptr
+        row_displs = self._halo_B_rowptr if self.is_halo else self._B_displs
         for i in range(self.pm):
             r0, r1 = int(row_displs[i]), int(row_displs[i + 1])
             for j in range(self.pn):

@@ -25,13 +25,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import logging
+
 from ..config import SpmmConfig
 from ..comm.exchange import build_b_exchange, exchange_b, exchange_b_ring
+from ..kernels.spmm_pallas import UnsupportedSparsity
 from ..comm.ring import build_ring_spmm, ring_spmm
 from ..kernels.dispatch import pack_local_kernel
 from ..shard.layout import make_mesh_1d, shard_dense_rows, stack_padded, unshard_dense_rows
 from ..utils.timers import Timer
 from .stats import format_stat_table
+
+logger = logging.getLogger("crp_tpu")
 
 
 class RowParaSpmm:
@@ -46,7 +51,7 @@ class RowParaSpmm:
         mesh: Optional[jax.sharding.Mesh] = None,
         axis: str = "pm",
         config: Optional[SpmmConfig] = None,
-        dtype=np.float64,
+        dtype=None,  # default: SpmmConfig.dtype
     ) -> None:
         self.config = config or SpmmConfig()
         self.A_row_displs = np.asarray(A_row_displs, dtype=np.int64)
@@ -55,7 +60,7 @@ class RowParaSpmm:
         self.glb_n = glb_n
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_mesh_1d(self.p, axis)
-        self.dtype = np.dtype(dtype)
+        self.dtype = np.dtype(dtype if dtype is not None else self.config.dtype)
         self.glb_m = a.nrow
         self.timer = Timer()
 
@@ -72,6 +77,14 @@ class RowParaSpmm:
             for i in range(p)
         ]
         self.max_m = max(max(s.nrow for s in shards), 1)
+
+        # B ownership must cover every column of A; nnz-balanced row blocks
+        # exclude trailing empty rows (reference csr_mat_row_partition
+        # semantics), so extend the last boundary when drivers reuse them
+        # as B displs on square matrices
+        if int(self.B_row_displs[-1]) < a.ncol:
+            self.B_row_displs = self.B_row_displs.copy()
+            self.B_row_displs[-1] = a.ncol
 
         # B exchange plan from each shard's referenced global B rows
         reidx = bool(self.config.rb_reidx)
@@ -100,13 +113,25 @@ class RowParaSpmm:
         if self.is_halo:
             from ..kernels.spmm_halo import align_displs, build_halo_plan
 
-            # the fused kernel owns the B partition: TK-aligned boundaries
-            self.B_row_displs = align_displs(
+            # the fused kernel owns the B partition: TK-aligned boundaries.
+            # Commit them only on success — the fallback path must keep the
+            # ownership the exchange plan above was built with.
+            aligned = align_displs(
                 self.B_row_displs, int(self.B_row_displs[-1])
             )
-            self.hplan = build_halo_plan(
-                shards, self.B_row_displs, dtype=self.dtype
-            )
+            try:
+                self.hplan = build_halo_plan(
+                    shards, aligned, dtype=self.dtype
+                )
+                self.B_row_displs = aligned
+            except UnsupportedSparsity as e:
+                logger.warning(
+                    "pallas_halo unavailable (%s); falling back to the "
+                    "unfused pallas path", e,
+                )
+                self.is_halo = False
+                kind = "pallas"
+        if self.is_halo:
             hp = self.hplan
             self.max_k = hp.max_k
             self.max_m = max(self.max_m, hp.G * hp.TM)
@@ -149,10 +174,19 @@ class RowParaSpmm:
                 else:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
-            arrays, self._local_fn = pack_local_kernel(
-                shards_compact, self.max_m, self.dtype, kind,
-                mxu_precision=self.config.mxu_precision,
-            )
+            try:
+                arrays, self._local_fn = pack_local_kernel(
+                    shards_compact, self.max_m, self.dtype, kind,
+                    mxu_precision=self.config.mxu_precision,
+                )
+            except UnsupportedSparsity as e:
+                logger.warning(
+                    "kernel=%r rejected this sparsity (%s); falling back "
+                    "to segsum", kind, e,
+                )
+                arrays, self._local_fn = pack_local_kernel(
+                    shards_compact, self.max_m, self.dtype, "segsum"
+                )
             # the pallas windowed kernel needs rB padded so window DMAs stay
             # in-bounds; extra rows only ever meet zero A-tile columns
             self._rb_rows = max(

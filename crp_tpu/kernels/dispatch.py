@@ -52,7 +52,13 @@ def pack_local_kernel(
         return arrays, local_fn
 
     if kind == "ell":
-        L = max(max(int(np.diff(r).max()) for r, _, _ in shards), 1)
+        L = max(
+            max(
+                (int(np.diff(r).max()) if len(r) > 1 else 0)
+                for r, _, _ in shards
+            ),
+            1,
+        )
         cols, vals = [], []
         for rowptr, cc, v in shards:
             c, vv = pack_ell(rowptr, cc, v.astype(dtype), max_m, L=L)
@@ -72,7 +78,13 @@ def pack_local_kernel(
             pack_coo_dd, pack_ell_dd, spmm_ell_dd, spmm_segsum_dd,
         )
 
-        L = max(max(int(np.diff(r).max()) for r, _, _ in shards), 1)
+        L = max(
+            max(
+                (int(np.diff(r).max()) if len(r) > 1 else 0)
+                for r, _, _ in shards
+            ),
+            1,
+        )
         if L <= 128:
             # bounded degree: per-row sequential accumulation (L unrolled
             # VPU passes) — the segmented scan's log2(nnz) full-width
@@ -118,21 +130,30 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
 
     from .spmm_pallas import pack_window_dense, spmm_window_pallas, WindowDense
 
+    from .spmm_pallas import choose_chunks, UnsupportedSparsity
+
     packs = []
     for rowptr, cc, v in shards:
+        if int(rowptr[-1]) - int(rowptr[0]) == 0:
+            packs.append(None)  # empty shard -> all-zero panel below
+            continue
         ncol = int(cc.max()) + 1 if len(cc) else 1
         packs.append(
             pack_window_dense(rowptr, cc, v.astype(dtype), ncol, dtype=dtype)
         )
-    from .spmm_pallas import choose_chunks
+    real = [p for p in packs if p is not None]
+    if not real:
+        raise UnsupportedSparsity("all shards empty")
 
-    TM = packs[0].TM
-    G = max(max(p.G for p in packs), -(-max_m // TM))
+    TM = real[0].TM
+    G = max(max(p.G for p in real), -(-max_m // TM))
     # shared panel width must itself be chunk-exact for the k-loop
-    W, _, _ = choose_chunks(max(p.W for p in packs))
+    W, _, _ = choose_chunks(max(p.W for p in real))
     tiles = np.zeros((len(packs), G, TM, W), dtype=dtype)
     ws = np.zeros((len(packs), G), dtype=np.int32)
     for i, p in enumerate(packs):
+        if p is None:
+            continue
         tiles[i, : p.G, :, : p.W] = p.tiles
         ws[i, : p.G] = p.ws
     min_b_rows = int(ws.max()) + W

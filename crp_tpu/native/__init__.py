@@ -63,10 +63,6 @@ def _load():
 
     lib.crp_comm_size.argtypes = [i64, i64, p_i64, p_i32, p_i64, p_i64]
     lib.crp_coo2csr.argtypes = [i64, i64, p_i64, p_i64, p_f64, p_i64, p_i32, p_f64]
-    lib.crp_pack_window_f32.restype = i64
-    lib.crp_pack_window_f32.argtypes = [
-        i64, i64, p_i64, p_i32, p_f32, i64, i64, i64, i64, i64, p_i32, p_f32,
-    ]
     lib.crp_pack_window_flat_f32.restype = i64
     lib.crp_pack_window_flat_f32.argtypes = [
         i64, p_i64, p_i32, p_f32, i64, i64, i64, i64, i64, p_i32, p_f32,
@@ -118,25 +114,6 @@ def coo2csr(nrow, ncol, rows, cols, vals):
         rowptr, colidx, csrval,
     )
     return rowptr, colidx, csrval
-
-
-def pack_window_f32(nrow, ncol, rowptr, colidx, val, TM, TK, max_window, G, T):
-    """Native window-tile densification; returns (ws, tiles, W) or None."""
-    lib = _load()
-    if lib is None:
-        return None
-    ws = np.zeros(G, dtype=np.int32)
-    tiles = np.zeros((G, T, TM, TK), dtype=np.float32)
-    w = lib.crp_pack_window_f32(
-        int(nrow), int(ncol),
-        np.ascontiguousarray(rowptr, dtype=np.int64),
-        np.ascontiguousarray(colidx, dtype=np.int32),
-        np.ascontiguousarray(val, dtype=np.float32),
-        int(TM), int(TK), int(max_window), int(G), int(T), ws, tiles,
-    )
-    if w < 0:
-        return None
-    return ws, tiles, int(w)
 
 
 def pack_window_flat_f32(nrow, rowptr, colidx, val, TM, TK, max_window, G, W):

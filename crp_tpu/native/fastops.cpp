@@ -91,47 +91,6 @@ void crp_coo2csr(
     coo2csr_impl(nrow, nnz, rows, cols, vals, rowptr, colidx, csrval);
 }
 
-// Densify window tiles for the Pallas kernel (see kernels/spmm_pallas.py):
-// per row group of TM rows, tiles cover [min 128-tile, max 128-tile].
-// Outputs: ws[G] (window start rows) and tiles[G*T*TM*TK] (zero-initialized
-// by the caller).  Returns the window width W (rows), or -1 if it would
-// exceed max_window.
-int64_t crp_pack_window_f32(
-    int64_t nrow, int64_t ncol, const int64_t* rowptr, const int32_t* colidx,
-    const float* val, int64_t TM, int64_t TK, int64_t max_window,
-    int64_t G, int64_t T_cap, int32_t* ws, float* tiles)
-{
-    int64_t ntile_tot = (ncol + TK - 1) / TK;
-    std::vector<int64_t> min_t(G, ntile_tot), max_t(G, 0);
-    for (int64_t g = 0; g < G; g++) {
-        int64_t r0 = g * TM, r1 = std::min(nrow, (g + 1) * TM);
-        for (int64_t j = rowptr[r0]; j < rowptr[r1]; j++) {
-            int64_t t = colidx[j] / TK;
-            if (t < min_t[g]) min_t[g] = t;
-            if (t > max_t[g]) max_t[g] = t;
-        }
-        if (min_t[g] > max_t[g]) min_t[g] = max_t[g];
-    }
-    int64_t T = 1;
-    for (int64_t g = 0; g < G; g++) T = std::max(T, max_t[g] - min_t[g] + 1);
-    if (T * TK > max_window || T > T_cap) return -1;
-#pragma omp parallel for schedule(dynamic)
-    for (int64_t g = 0; g < G; g++) {
-        ws[g] = (int32_t)(min_t[g] * TK);
-        int64_t r0 = g * TM, r1 = std::min(nrow, (g + 1) * TM);
-        float* base = tiles + g * T * TM * TK;
-        for (int64_t r = r0; r < r1; r++) {
-            int64_t lr = r - r0;
-            for (int64_t j = rowptr[r]; j < rowptr[r + 1]; j++) {
-                int64_t c = colidx[j];
-                int64_t ti = c / TK - min_t[g];
-                base[(ti * TM + lr) * TK + (c % TK)] += val[j];
-            }
-        }
-    }
-    return T * TK;
-}
-
 // Flat-panel densification for the chunked Pallas kernel: panels[G*TM*W]
 // (zero-initialized by the caller, W possibly chunk-padded past the raw
 // window width).  Returns the raw window width W0 (rows), or -1 if it

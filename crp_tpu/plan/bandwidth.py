@@ -69,7 +69,10 @@ def _panel_b_windows(ranges: np.ndarray, idx: np.ndarray) -> np.ndarray:
     maxs = np.maximum.reduceat(ranges[:, 1], starts)
     out = np.empty((nsplit, 2), dtype=np.int64)
     out[:, 0] = mins
-    out[:, 1] = maxs + 1
+    # panels of only-empty rows carry ranges [ncol, -1]; clamp to an empty
+    # window instead of a negative extent (which would subtract from the
+    # planner's B-copy cost and emit invalid coarse row lists)
+    out[:, 1] = np.maximum(maxs + 1, mins)
     return out
 
 
@@ -105,10 +108,17 @@ def calc_bandwidth_part2d(
             split_n_cost = SIZE_MAX
         # Split M: A copies unchanged, recompute panel B ranges
         trial_m = m_split * p_i
-        idx2 = _panel_boundaries(rowptr, m, trial_m)
-        windows = _panel_b_windows(row_ranges, idx2)
-        copy_b2 = int(((windows[:, 1] - windows[:, 0]).astype(np.int64) * n).sum())
-        split_m_cost = a_copy_cost1 + copy_b2
+        if trial_m > m:
+            # more row panels than rows (guard symmetric with split-N's)
+            split_m_cost = SIZE_MAX
+            idx2, copy_b2 = m_split_idx, curr_copy_b
+        else:
+            idx2 = _panel_boundaries(rowptr, m, trial_m)
+            windows = _panel_b_windows(row_ranges, idx2)
+            copy_b2 = int(
+                ((windows[:, 1] - windows[:, 0]).astype(np.int64) * n).sum()
+            )
+            split_m_cost = a_copy_cost1 + copy_b2
         if split_m_cost < split_n_cost:
             m_split = trial_m
             curr_copy_b = copy_b2

@@ -63,9 +63,13 @@ def metis_row_partition(
     """METIS k-way partition + symmetric permutation grouping parts.
 
     Mirrors ``METIS_row_partition`` (``examples/metis_mat_part.c:31-112``):
-    partition the adjacency graph minimizing communication volume with 5%
-    imbalance, sort vertices by part id, permute symmetrically, and return
-    the per-part row displacements to seed the planner.
+    partition the adjacency graph, sort vertices by part id, permute
+    symmetrically, and return the per-part row displacements to seed the
+    planner.  The reference sets ``METIS_OBJTYPE_VOL`` and a 5% imbalance
+    (``metis_mat_part.c:47-57``); pymetis' ``part_graph`` exposes neither,
+    so partitions here optimize edge-cut with METIS' default balance — the
+    ``imbalance`` argument is honored only if the installed pymetis
+    supports Options (newer releases), and ignored otherwise.
 
     Requires the optional ``pymetis`` package; environments without it
     should reorder with :func:`rcm_reorder` instead (the documented
@@ -82,7 +86,15 @@ def metis_row_partition(
     adj = [
         a.colidx[a.rowptr[i]:a.rowptr[i + 1]].tolist() for i in range(a.nrow)
     ]
-    _, parts = pymetis.part_graph(nparts, adjacency=adj)
+    kw = {}
+    if hasattr(pymetis, "Options"):  # pragma: no cover - optional dependency
+        try:
+            opts = pymetis.Options()
+            opts.ufactor = max(int(round((imbalance - 1.0) * 1000)), 1)
+            kw["options"] = opts
+        except (AttributeError, TypeError):
+            pass
+    _, parts = pymetis.part_graph(nparts, adjacency=adj, **kw)
     parts = np.asarray(parts)
     perm = np.argsort(parts, kind="stable").astype(np.int64)
     out = permute_symmetric(a, perm)

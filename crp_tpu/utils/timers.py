@@ -34,10 +34,12 @@ class Timer:
             if fence is not None:
                 try:
                     import jax
-
+                except ImportError:
+                    jax = None
+                if jax is not None:
+                    # device errors (OOM, DMA faults) must propagate — a
+                    # swallowed failure here poisons downstream results
                     jax.block_until_ready(fence)
-                except Exception:
-                    pass
             self.t[name] += time.perf_counter() - st
 
     def add(self, name: str, seconds: float) -> None:

@@ -76,3 +76,27 @@ def test_halo_para2d_grid(devices8):
     b = np.asarray(fill_b(0, a.ncol, 0, n))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_kernel_fallbacks_on_unsupported_sparsity(devices8):
+    """Documented behavior: pallas/pallas_halo reject unsupported sparsity
+    at pack time and the engines fall back (halo -> pallas -> segsum).
+    A hub row spanning 20000 columns blows the max_window cap for both."""
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    nrow = ncol = 20000
+    rows = np.concatenate([np.zeros(ncol, np.int64),
+                           np.arange(nrow, dtype=np.int64)])
+    cols = np.concatenate([np.arange(ncol, dtype=np.int64),
+                           np.arange(nrow, dtype=np.int64)])
+    vals = np.ones(len(rows))
+    hub = CSRMatrix.from_coo(nrow, ncol, rows, cols, vals)
+    b = np.asarray(fill_b(0, ncol, 0, 8))
+    for kernel in ("pallas", "pallas_halo"):
+        eng = RowParaSpmm(hub, csr_row_partition(hub.rowptr, 4),
+                          np.linspace(0, ncol, 5).astype(np.int64), 8,
+                          mesh=make_mesh_1d(4, devices=devices8),
+                          config=SpmmConfig(kernel=kernel))
+        assert not eng.is_halo                           # halo rejected
+        assert not hasattr(eng._local_fn, "min_b_rows")  # pallas rejected too
+        assert rel_fro_err(hub.spmm_ref(b), eng.exec(b)) <= 1e-12

@@ -66,7 +66,7 @@ def test_native_pack_window_matches_numpy(monkeypatch):
     a = banded_random_csr(2000, nnz_per_row=8, bandwidth=100, seed=62,
                           dtype=np.float32)
     p_native = sp.pack_window_dense(a.rowptr, a.colidx, a.val, a.ncol, TM=256)
-    monkeypatch.setattr(native, "pack_window_f32", lambda *a, **k: None)
+    monkeypatch.setattr(native, "pack_window_flat_f32", lambda *a, **k: None)
     p_np = sp.pack_window_dense(a.rowptr, a.colidx, a.val, a.ncol, TM=256)
     np.testing.assert_array_equal(p_native.ws, p_np.ws)
     np.testing.assert_array_equal(p_native.tiles, p_np.tiles)

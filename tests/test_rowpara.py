@@ -193,3 +193,22 @@ def test_rowpara_matrix_with_empty_rows(devices8):
                       4, mesh=make_mesh_1d(2, devices=devices8))
     b = np.asarray(fill_b(0, 10, 0, 4))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_rowpara_trailing_empty_rows_referenced_columns(devices8):
+    """Square matrix with empty trailing rows whose columns ARE referenced:
+    nnz-balanced row blocks exclude those rows, so reusing them as B
+    ownership must not silently drop the referenced B rows (regression:
+    this returned wrong results without an error)."""
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    rows = np.array([0, 1, 2, 3, 0])
+    cols = np.array([1, 2, 3, 0, 15])   # col 15 referenced, row 15 empty
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    a = CSRMatrix.from_coo(16, 16, rows, cols, vals)
+    displs = csr_row_partition(a.rowptr, 4)
+    assert displs[-1] < 16  # the partition really does truncate
+    eng = RowParaSpmm(a, displs, displs, 4,
+                      mesh=make_mesh_1d(4, devices=devices8))
+    b = np.asarray(fill_b(0, 16, 0, 4))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12

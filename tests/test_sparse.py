@@ -156,3 +156,22 @@ def test_mmio_pattern_and_integer_fields(tmp_path):
     d = a.to_scipy().toarray()
     exp = np.array([[5, 0, 2], [0, -7, 0]], dtype=np.float64)
     np.testing.assert_array_equal(d, exp)
+
+
+def test_config_dtype_reaches_engines(devices8):
+    """SpmmConfig.dtype / CRP_TPU_DTYPE is the engine default when the
+    constructor receives no explicit dtype (regression: it was a no-op)."""
+    from crp_tpu.config import SpmmConfig
+    from crp_tpu.engine.rowpara import RowParaSpmm
+    from crp_tpu.plan.partition1d import csr_row_partition
+    from crp_tpu.sparse.synth import banded_random_csr
+    from crp_tpu.shard.layout import make_mesh_1d
+
+    a = banded_random_csr(100, nnz_per_row=4, bandwidth=10, seed=81)
+    d = csr_row_partition(a.rowptr, 2)
+    eng = RowParaSpmm(a, d, d, 4, mesh=make_mesh_1d(2, devices=devices8),
+                      config=SpmmConfig(dtype="float32"))
+    assert eng.dtype == np.float32
+    eng = RowParaSpmm(a, d, d, 4, mesh=make_mesh_1d(2, devices=devices8),
+                      config=SpmmConfig(dtype="float32"), dtype=np.float64)
+    assert eng.dtype == np.float64  # explicit argument wins
