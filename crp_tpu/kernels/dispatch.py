@@ -167,6 +167,48 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
     else:
         precision = None  # kernel default: HIGHEST for fp32
 
+    # single-shard packs with monotone windows use the super-grouped
+    # variant: one B super-window DMA feeds SG groups (B traffic / ~SG)
+    sg_plan = None
+    if len(packs) == 1 and packs[0] is not None:
+        from .spmm_pallas import plan_supergroups
+
+        sg_plan = plan_supergroups(
+            ws[0, : packs[0].G], W, 256, np.dtype(dtype).itemsize
+        )
+    if sg_plan is not None:
+        from .spmm_pallas import spmm_window_pallas_sg
+
+        SG, Wsg, bases = sg_plan
+        sgc = -(-G // SG)
+        G_sg = sgc * SG
+        if len(bases) < sgc:  # shared G exceeds the shard's own group count
+            bases = np.concatenate(
+                [bases, np.full(sgc - len(bases), bases[-1], np.int32)]
+            )
+        # pad-group window starts must stay monotone and in-range (the
+        # stacked ws pads with zeros past the shard's real group count)
+        ws[0, packs[0].G :] = ws[0, packs[0].G - 1]
+        if G_sg > G:
+            tiles = np.pad(tiles, ((0, 0), (0, G_sg - G), (0, 0), (0, 0)))
+            ws = np.pad(ws, ((0, 0), (0, G_sg - G)), mode="edge")
+        min_b_rows = max(min_b_rows, int(bases.max()) + Wsg)
+
+        def local_fn(arrs, rB):
+            ws_i, tiles_i, bases_i = arrs
+            packed = WindowDense(
+                nrow=max_m, ncol=rB.shape[0], TM=TM, G=G_sg, W=W,
+                ws=ws_i, tiles=tiles_i,
+            )
+            c = spmm_window_pallas_sg(
+                packed, rB, SG, Wsg, bases_i,
+                precision=precision, interpret=interpret,
+            )
+            return c[:max_m].astype(rB.dtype)
+
+        local_fn.min_b_rows = min_b_rows
+        return (ws, tiles, bases[None]), local_fn
+
     def local_fn(arrs, rB):
         ws_i, tiles_i = arrs
         packed = WindowDense(

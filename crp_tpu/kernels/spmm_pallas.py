@@ -307,6 +307,194 @@ def spmm_window_pallas(
     return out[:, :n_orig] if n != n_orig else out
 
 
+def _window_kernel_sg(
+    ws_ref, base_ref, a_ref, b_hbm, o_ref, window, sem,
+    *, Wsg, Wc, TN, NJ, C, SG, compute_dtype, precision,
+):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sg = pl.program_id(0)
+    jn = pl.program_id(1)
+    u = pl.program_id(2)
+    lin = sg * NJ + jn  # super-window instance (one DMA per lin)
+    total_lin = pl.num_programs(0) * NJ
+
+    def sw_dma(l, slot):
+        ss = l // NJ
+        jj = l - ss * NJ
+        return pltpu.make_async_copy(
+            b_hbm.at[
+                pl.ds(pl.multiple_of(base_ref[ss], TK), Wsg),
+                pl.ds(pl.multiple_of(jj * TN, TN), TN),
+            ],
+            window.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((sg == 0) & (jn == 0) & (u == 0))
+    def _():
+        sw_dma(0, 0).start()
+
+    @pl.when(u == 0)
+    def _():
+        sw_dma(lin, lin % 2).wait()
+
+        @pl.when(lin + 1 < total_lin)
+        def _():
+            # double-buffer at super-window granularity: the next window
+            # streams while all SG * C steps of this one compute
+            sw_dma(lin + 1, (lin + 1) % 2).start()
+
+    slot = lin % 2
+    g = sg * SG + u // C
+    t = u - (u // C) * C
+    og = ws_ref[g] - base_ref[sg]
+    bt = window[slot, pl.ds(pl.multiple_of(og + t * Wc, TK), Wc), :]
+
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "x3":
+        a32 = a_ref[0].astype(jnp.float32)
+        b32 = bt.astype(jnp.float32)
+        ah = a32.astype(jnp.bfloat16)
+        al = (a32 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b32.astype(jnp.bfloat16)
+        bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        partial = dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+    else:
+        partial = jax.lax.dot_general(
+            a_ref[0].astype(compute_dtype), bt.astype(compute_dtype),
+            dims,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = partial.astype(o_ref.dtype)
+
+    @pl.when(t > 0)
+    def _():
+        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+
+
+def plan_supergroups(
+    ws: np.ndarray, W: int, TN: int, itemsize: int,
+    # window slots only; Mosaic's scoped accounting adds the A pipeline,
+    # the output block, and ~35% overhead on top (measured), 16 MB total
+    vmem_budget: int = 7 << 20,
+) -> tuple[int, int, np.ndarray] | None:
+    """Pick the super-group size for window reuse.
+
+    Consecutive row groups of a banded matrix share most of their B
+    windows; loading one super-window per SG groups divides B traffic by
+    ~SG.  Returns (SG, Wsg, bases) — or None when windows are
+    non-monotone or reuse would not pay (SG < 2).
+    """
+    ws = np.asarray(ws, dtype=np.int64)
+    if ws.size < 2 or np.any(np.diff(ws) < 0):
+        return None
+    cap = vmem_budget // (2 * TN * itemsize)  # rows per super-window slot
+    best = None
+    for SG in range(2, 33):
+        G = ws.size
+        sgc = -(-G // SG)
+        bases = ws[::SG][:sgc]
+        spans = np.empty(sgc, dtype=np.int64)
+        for s in range(sgc):
+            hi = min((s + 1) * SG, G) - 1
+            spans[s] = ws[hi] + W - bases[s]
+        Wsg = int(-(-int(spans.max()) // TK) * TK)
+        if Wsg > cap:
+            break
+        best = (SG, Wsg, bases.astype(np.int32))
+    return best
+
+
+def spmm_window_pallas_sg(
+    packed: WindowDense, b, SG: int, Wsg: int, bases: np.ndarray,
+    TN: int | None = None, compute_dtype=None, precision=None,
+    interpret: bool = False,
+):
+    """Super-grouped windowed SpMM: one B super-window DMA feeds SG groups.
+
+    B rows must reach ``max(bases) + Wsg`` (see ``pad_b_for_window_sg``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    compute_dtype = compute_dtype or packed.tiles.dtype
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if np.dtype(compute_dtype) == np.float32
+            else jax.lax.Precision.DEFAULT
+        )
+    n_orig = b.shape[1]
+    if TN is None:
+        TN = 256 if n_orig % 256 == 0 else 128
+    if n_orig % TN:
+        b = jnp.pad(b, ((0, 0), (0, TN - n_orig % TN)))
+    n = b.shape[1]
+    W, TM, G = packed.W, packed.TM, packed.G
+    _, Wc, C = choose_chunks(W)
+    sgc = len(bases)
+    # callers pad G to a whole number of super-groups at pack time (zero
+    # panels, window starts clamped) — arrays may be traced here
+    assert G == sgc * SG, (G, sgc, SG)
+    ws = packed.ws
+    tiles = packed.tiles
+
+    kern = functools.partial(
+        _window_kernel_sg,
+        Wsg=Wsg, Wc=Wc, TN=TN, NJ=n // TN, C=C, SG=SG,
+        compute_dtype=compute_dtype, precision=precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ws, bases
+        grid=(sgc, n // TN, SG * C),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TM, Wc),
+                lambda s, j, u, *_: (s * SG + u // C, 0, u % C),
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # B stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (TM, TN), lambda s, j, u, *_: (s * SG + u // C, j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Wsg, TN), b.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * TM, n), jnp.float32),
+        interpret=interpret,
+    )
+    out = fn(jnp.asarray(ws), jnp.asarray(bases), jnp.asarray(tiles), b)
+    out = out[: G * TM]
+    return out[:, :n_orig] if n != n_orig else out
+
+
+def pad_b_for_window_sg(b: np.ndarray, bases: np.ndarray, Wsg: int) -> np.ndarray:
+    need = int(np.max(bases)) + Wsg
+    if b.shape[0] >= need:
+        return b
+    pad = np.zeros((need - b.shape[0], b.shape[1]), dtype=b.dtype)
+    return np.concatenate([b, pad], axis=0)
+
+
 def pad_b_for_window(b: np.ndarray, packed: WindowDense) -> np.ndarray:
     """Pad B rows so every window-chunk DMA is in-bounds (W already rounded
     to whole chunks at pack time; extra rows only meet zero A columns)."""

@@ -168,3 +168,39 @@ def test_pallas_x3_precision_mode():
         spmm_window_pallas(packed, bp, precision="x3", interpret=True)
     )[: a.nrow]
     assert rel_fro_err(a.spmm_ref(b.astype(np.float64)), c) <= 1e-5
+
+
+def test_pallas_supergroup_window_reuse_interpret():
+    """Super-grouped windowed kernel (one B super-window per SG groups)
+    matches the reference; exercised through the single-shard dispatch
+    path the TPU headline bench uses."""
+    from crp_tpu.kernels.dispatch import pack_local_kernel
+    from crp_tpu.kernels.spmm_pallas import plan_supergroups
+
+    a = banded_random_csr(3000, nnz_per_row=7, bandwidth=80, seed=90,
+                          dtype=np.float32)
+    arrays, local_fn = pack_local_kernel(
+        [(a.rowptr, a.colidx.astype(np.int32), a.val)], a.nrow, np.float32,
+        "pallas",
+    )
+    assert len(arrays) == 3, "single banded shard must select the sg variant"
+    b = np.asarray(fill_b(0, a.ncol, 0, 48, dtype=np.float32))
+    bp = np.zeros((local_fn.min_b_rows, 48), np.float32)
+    bp[: a.ncol] = b
+    c = np.asarray(local_fn((arrays[0][0], arrays[1][0], arrays[2][0]), bp))
+    ref = a.spmm_ref(b.astype(np.float64))
+    assert rel_fro_err(ref, c[: a.nrow].astype(np.float64)) <= 1e-5
+
+
+def test_plan_supergroups_rules():
+    from crp_tpu.kernels.spmm_pallas import plan_supergroups
+
+    # monotone, tight band: large SG chosen
+    ws = (np.arange(64, dtype=np.int32) * 128)
+    got = plan_supergroups(ws, 1024, 256, 4)
+    assert got is not None and got[0] >= 2
+    SG, Wsg, bases = got
+    assert Wsg % 128 == 0 and len(bases) == -(-64 // SG)
+    # non-monotone: rejected
+    ws2 = ws.copy(); ws2[10] = 0; ws2[9] = 1280
+    assert plan_supergroups(ws2, 1024, 256, 4) is None
