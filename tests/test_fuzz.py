@@ -74,3 +74,24 @@ def test_fuzz_para2d_planner(trial, devices8):
     b = np.asarray(fill_b(0, a.ncol, 0, n))
     err = rel_fro_err(a.spmm_ref(b), eng.exec(b))
     assert err <= 1e-12, (err, plan.pm, plan.pn, a.nrow, a.nnz, n)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_fuzz_halo_banded(trial, devices8):
+    """Fused halo kernel on random banded matrices and shard counts."""
+    rng = np.random.default_rng(3000 + trial)
+    a = banded_random_csr(
+        int(rng.integers(400, 2500)),
+        nnz_per_row=int(rng.integers(3, 10)),
+        bandwidth=int(rng.integers(15, 90)),
+        seed=int(rng.integers(1 << 30)),
+    )
+    n = int(rng.integers(1, 40))
+    p = int(rng.choice([2, 3, 5, 7]))
+    displs = csr_row_partition(a.rowptr, p)
+    eng = RowParaSpmm(a, displs, displs, n,
+                      mesh=make_mesh_1d(p, devices=devices8),
+                      config=SpmmConfig(kernel="pallas_halo"))
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    err = rel_fro_err(a.spmm_ref(b), eng.exec(b))
+    assert err <= 1e-12, (err, a.nrow, a.nnz, n, p, eng.is_halo)
