@@ -109,6 +109,7 @@ class RowParaSpmm:
         sharding = NamedSharding(self.mesh, P(self.axis))
         put = functools.partial(jax.device_put, device=sharding)
         self.max_k = int(max(np.diff(self.B_row_displs).max(), 1))
+        self._identity_exchange = False
 
         if self.is_halo:
             from ..kernels.spmm_halo import align_displs, build_halo_plan
@@ -197,14 +198,24 @@ class RowParaSpmm:
             self._kernel_specs = tuple(
                 P(self.axis, *([None] * (a.ndim - 1))) for a in arrays
             )
-            self.d_send_idx = put(self.xplan.send_idx)
-            self.d_recv_dst = put(self.xplan.recv_dst)
-            self.d_self_src = put(self.xplan.self_src)
-            self.d_self_dst = put(self.xplan.self_dst)
+            self._identity_exchange = (
+                p == 1
+                and bool(self.config.rb_reidx)
+                and len(self.xplan.rowmap[0]) == int(self.B_row_displs[-1])
+            )
+            if self._identity_exchange:
+                # the kernel reads the owned block directly; pad it to the
+                # receive-buffer size the kernel was packed for
+                self.max_k = max(self.max_k, self._rb_rows)
+            else:
+                self.d_send_idx = put(self.xplan.send_idx)
+                self.d_recv_dst = put(self.xplan.recv_dst)
+                self.d_self_src = put(self.xplan.self_src)
+                self.d_self_dst = put(self.xplan.self_dst)
 
         self.b_sharding = NamedSharding(self.mesh, P(self.axis, None, None))
         self._exec_jit = self._make_exec()
-        if not (self.overlap or self.is_halo):
+        if not (self.overlap or self.is_halo or self._identity_exchange):
             self._exchange_jit, self._spmm_jit = self._make_staged()
 
         # audit (reference: rB_recv_size, src/rowpara_spmm.c:149)
@@ -277,6 +288,17 @@ class RowParaSpmm:
                 P(axis, None, None), P(axis, None, None), P(axis, None, None),
                 P(axis, None, None), specs["b"],
             )
+        elif self._identity_exchange:
+            # p == 1 with every B row referenced: the exchange degenerates
+            # to an identity copy of all of B (~15% of exec at the headline
+            # shape) — feed the owned block straight into the kernel
+            local_fn = self._local_fn
+
+            def local(*args):
+                kernel = tuple(a[0] for a in args[:nk])
+                return local_fn(kernel, args[nk][0])[None]
+
+            in_specs = self._kernel_specs + (specs["b"],)
         else:
             rB_nrow_max = self._rb_rows
             local_fn = self._local_fn
@@ -374,6 +396,8 @@ class RowParaSpmm:
                 *self.d_halo, self.d_panels, b_shards, self.d_buf
             )
             return out
+        if self._identity_exchange:
+            return self._exec_jit(*self.d_kernel, b_shards)
         if self.overlap:
             return self._exec_jit(
                 *self.d_kernel, *self.d_step, self.d_send_idx, b_shards
@@ -404,7 +428,7 @@ class RowParaSpmm:
         not separable — it is timed as one "exec" phase.
         """
         t = self.timer
-        if self.overlap or self.is_halo:
+        if self.overlap or self.is_halo or self._identity_exchange:
             c = self.exec_device(b_shards)
             with t.phase("exec", fence=c):
                 pass
