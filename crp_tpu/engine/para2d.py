@@ -104,6 +104,7 @@ class Para2dSpmm:
                 "overlap=1 has no meaning for it"
             )
         self.max_k = int(max(np.diff(self._B_displs).max(), 1))
+        self._identity_exchange = False
 
         # P('pm', None, ...): replicated along pn — the all-gather-A equivalent
         def put_pm(a):
@@ -199,10 +200,18 @@ class Para2dSpmm:
             self._kernel_specs = tuple(
                 P("pm", *([None] * (a.ndim - 1))) for a in arrays
             )
-            self.d_send_idx = put_pm(self.xplan.send_idx)
-            self.d_recv_dst = put_pm(self.xplan.recv_dst)
-            self.d_self_src = put_pm(self.xplan.self_src)
-            self.d_self_dst = put_pm(self.xplan.self_dst)
+            self._identity_exchange = (
+                pm == 1
+                and bool(self.config.rb_reidx)
+                and len(self.xplan.rowmap[0]) == int(self._B_displs[-1])
+            )
+            if self._identity_exchange:
+                self.max_k = max(self.max_k, self._rb_rows)
+            else:
+                self.d_send_idx = put_pm(self.xplan.send_idx)
+                self.d_recv_dst = put_pm(self.xplan.recv_dst)
+                self.d_self_src = put_pm(self.xplan.self_src)
+                self.d_self_dst = put_pm(self.xplan.self_dst)
         self.max_nloc = int(max(np.diff(plan.BC_colptr).max(), 1))
         self.b_sharding = NamedSharding(self.mesh, P("pm", "pn", None, None))
         self._exec_jit = self._make_exec()
@@ -273,6 +282,16 @@ class Para2dSpmm:
                 P("pm", None, None), P("pm", None, None), P("pm", None, None),
                 P("pm", None, None), bspec,
             )
+        elif self._identity_exchange:
+            # pm == 1 with every B row referenced: the exchange along pm is
+            # an identity copy — feed the owned slab straight to the kernel
+            local_fn = self._local_fn
+
+            def local(*args):
+                kernel = tuple(a[0] for a in args[:nk])
+                return local_fn(kernel, args[nk][0, 0])[None, None]
+
+            in_specs = self._kernel_specs + (bspec,)
         else:
             rB_nrow_max = self._rb_rows
             local_fn = self._local_fn
@@ -365,6 +384,8 @@ class Para2dSpmm:
                 *self.d_halo, self.d_panels, b_shards, self.d_buf
             )
             return out
+        if self._identity_exchange:
+            return self._exec_jit(*self.d_kernel, b_shards)
         if self.overlap:
             return self._exec_jit(
                 *self.d_kernel, *self.d_step, self.d_send_idx, b_shards
