@@ -140,7 +140,9 @@ def ring_spmm(
     """Device-side overlapped exec; runs inside shard_map, returns (max_m, n)."""
     p, S = send_idx.shape
     me = jax.lax.axis_index(axis_name)
-    c = self_fn(self_arrays, b_loc)  # no comm dependence -> overlaps the ring
+    # no comm dependence -> overlaps the ring; kernels may return extra
+    # zero rows past max_m (pallas group padding), align for accumulation
+    c = self_fn(self_arrays, b_loc)[:max_m]
     for s in range(1, p):
         dst = (me + s) % p
         sendbuf = jnp.take(

@@ -204,7 +204,10 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
                 packed, rB, SG, Wsg, bases_i,
                 precision=precision, interpret=interpret,
             )
-            return c[:max_m].astype(rB.dtype)
+            # no [:max_m] slice: it copies the whole output once per exec;
+            # rows past the shard's real rows come from zero panels and the
+            # engines trim by row displacements at unshard time
+            return c.astype(rB.dtype)
 
         local_fn.min_b_rows = min_b_rows
         return (ws, tiles, bases[None]), local_fn
@@ -218,7 +221,7 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
         c = spmm_window_pallas(
             packed, rB, precision=precision, interpret=interpret
         )
-        return c[:max_m].astype(rB.dtype)
+        return c.astype(rB.dtype)  # see sg variant: engines trim at unshard
 
     local_fn.min_b_rows = min_b_rows
     arrays = (ws, tiles)
