@@ -194,6 +194,30 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
             ws = np.pad(ws, ((0, 0), (0, G_sg - G)), mode="edge")
         min_b_rows = max(min_b_rows, int(bases.max()) + Wsg)
 
+        if precision == "x3":
+            # pre-split A into bf16 hi/lo (same bytes as fp32): the per-step
+            # VPU conversion of the A chunk disappears from the kernel
+            import jax.numpy as jnp
+            import ml_dtypes
+
+            ah = tiles.astype(ml_dtypes.bfloat16)
+            al = (tiles - ah.astype(np.float32)).astype(ml_dtypes.bfloat16)
+
+            def local_fn(arrs, rB):
+                ws_i, ah_i, al_i, bases_i = arrs
+                from .spmm_pallas import spmm_window_pallas_sg_presplit
+
+                c = spmm_window_pallas_sg_presplit(
+                    ws_i, bases_i, ah_i, al_i, rB, SG, Wsg, W, TM,
+                    interpret=interpret,
+                )
+                # no [:max_m] slice (full-output copy); engines trim by row
+                # displacements at unshard time
+                return c.astype(rB.dtype)
+
+            local_fn.min_b_rows = min_b_rows
+            return (ws, ah, al, bases[None]), local_fn
+
         def local_fn(arrs, rB):
             ws_i, tiles_i, bases_i = arrs
             packed = WindowDense(

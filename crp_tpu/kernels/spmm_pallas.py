@@ -384,6 +384,121 @@ def _window_kernel_sg(
         o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
 
 
+def _window_kernel_sg_presplit(
+    ws_ref, base_ref, ah_ref, al_ref, b_hbm, o_ref, window, sem,
+    *, Wsg, Wc, TN, NJ, C, SG,
+):
+    """x3 variant with A pre-split into bf16 hi/lo at pack time — the A
+    chunk conversions vanish from the per-step VPU work (B still splits
+    in-kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sg = pl.program_id(0)
+    jn = pl.program_id(1)
+    u = pl.program_id(2)
+    lin = sg * NJ + jn
+    total_lin = pl.num_programs(0) * NJ
+
+    def sw_dma(l, slot):
+        ss = l // NJ
+        jj = l - ss * NJ
+        return pltpu.make_async_copy(
+            b_hbm.at[
+                pl.ds(pl.multiple_of(base_ref[ss], TK), Wsg),
+                pl.ds(pl.multiple_of(jj * TN, TN), TN),
+            ],
+            window.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((sg == 0) & (jn == 0) & (u == 0))
+    def _():
+        sw_dma(0, 0).start()
+
+    @pl.when(u == 0)
+    def _():
+        sw_dma(lin, lin % 2).wait()
+
+        @pl.when(lin + 1 < total_lin)
+        def _():
+            sw_dma(lin + 1, (lin + 1) % 2).start()
+
+    slot = lin % 2
+    g = sg * SG + u // C
+    t = u - (u // C) * C
+    og = ws_ref[g] - base_ref[sg]
+    b32 = window[slot, pl.ds(pl.multiple_of(og + t * Wc, TK), Wc), :]
+    bh = b32.astype(jnp.bfloat16)
+    bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    partial = dot(ah_ref[0], bh) + (dot(ah_ref[0], bl) + dot(al_ref[0], bh))
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = partial.astype(o_ref.dtype)
+
+    @pl.when(t > 0)
+    def _():
+        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+
+
+def spmm_window_pallas_sg_presplit(
+    ws, bases, ah, al, b, SG: int, Wsg: int, W: int, TM: int,
+    TN: int | None = None, interpret: bool = False,
+):
+    """Super-grouped x3 SpMM with pack-time bf16-split A panels."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_orig = b.shape[1]
+    if TN is None:
+        TN = 256 if n_orig % 256 == 0 else 128
+    if n_orig % TN:
+        b = jnp.pad(b, ((0, 0), (0, TN - n_orig % TN)))
+    n = b.shape[1]
+    G = ah.shape[0]
+    _, Wc, C = choose_chunks(W)
+    sgc = len(bases)
+    assert G == sgc * SG, (G, sgc, SG)
+
+    kern = functools.partial(
+        _window_kernel_sg_presplit,
+        Wsg=Wsg, Wc=Wc, TN=TN, NJ=n // TN, C=C, SG=SG,
+    )
+    a_spec = pl.BlockSpec(
+        (1, TM, Wc), lambda s, j, u, *_: (s * SG + u // C, 0, u % C)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ws, bases
+        grid=(sgc, n // TN, SG * C),
+        in_specs=[a_spec, a_spec, pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (TM, TN), lambda s, j, u, *_: (s * SG + u // C, j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Wsg, TN), b.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * TM, n), jnp.float32),
+        interpret=interpret,
+    )
+    out = fn(jnp.asarray(ws), jnp.asarray(bases), ah, al, b)
+    return out[:, :n_orig] if n != n_orig else out
+
+
 def plan_supergroups(
     ws: np.ndarray, W: int, TN: int, itemsize: int,
     # window slots only; Mosaic's scoped accounting adds the A pipeline,

@@ -204,3 +204,22 @@ def test_plan_supergroups_rules():
     # non-monotone: rejected
     ws2 = ws.copy(); ws2[10] = 0; ws2[9] = 1280
     assert plan_supergroups(ws2, 1024, 256, 4) is None
+
+
+def test_pallas_supergroup_presplit_x3_interpret():
+    """x3 with pack-time bf16-split A panels (the headline bench path)."""
+    from crp_tpu.kernels.dispatch import pack_local_kernel
+
+    a = banded_random_csr(3000, nnz_per_row=7, bandwidth=80, seed=91,
+                          dtype=np.float32)
+    arrays, local_fn = pack_local_kernel(
+        [(a.rowptr, a.colidx.astype(np.int32), a.val)], a.nrow, np.float32,
+        "pallas", mxu_precision="x3",
+    )
+    assert len(arrays) == 4, "x3 single-shard pack must pre-split A"
+    b = np.asarray(fill_b(0, a.ncol, 0, 48, dtype=np.float32))
+    bp = np.zeros((local_fn.min_b_rows, 48), np.float32)
+    bp[: a.ncol] = b
+    c = np.asarray(local_fn(tuple(x[0] for x in arrays), bp))
+    ref = a.spmm_ref(b.astype(np.float64))
+    assert rel_fro_err(ref, c[: a.nrow].astype(np.float64)) <= 1e-4
