@@ -46,7 +46,7 @@ def _reexec_cpu_mesh(n: int) -> None:
                + argv[1:], env)
 
 
-def run_one(a, n, p, engine_kind, config, dtype, ntest, check):
+def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
     """Build one engine config, time ntest execs, return a result record."""
     import jax
 
@@ -153,16 +153,20 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check):
     reduce = jax.jit(jnp.sum)
     c = eng.exec_device(bs)
     float(reduce(c))  # compile fence
+    # ``inner`` pipelined execs per host fence: a fence costs ~45 ms
+    # through a tunneled chip, which would swamp fast configs
     times = []
     for _ in range(ntest):
         st = time.perf_counter()
-        c = eng.exec_device(bs)
+        for _ in range(inner):
+            c = eng.exec_device(bs)
         float(reduce(c))
-        times.append(time.perf_counter() - st)
+        times.append((time.perf_counter() - st) / inner)
     rec["exec_s"] = dict(
         min=round(min(times), 6), avg=round(sum(times) / len(times), 6),
         max=round(max(times), 6),
     )
+    rec["inner"] = inner
     rec["gflops"] = round(2.0 * a.nnz * n / min(times) / 1e9, 1)
     if check:
         rec["rel_fro_err"] = float(rel_fro_err(a.spmm_ref(b), eng.unshard_c(c)))
@@ -185,6 +189,7 @@ def main(argv=None) -> int:
     sweep = pos[0]
     a = load_matrix(pos[1], need_symm=False)
     ntest = int(opt.get("ntest", 3))
+    inner = int(opt.get("inner", 10))
     check = int(opt.get("check", 1))
     engine = opt.get("engine", "para2d")
     dtype = np.dtype(opt.get("dtype", "float32"))
@@ -225,7 +230,7 @@ def main(argv=None) -> int:
     out = open(opt["out"], "a") if "out" in opt else None
     for args in runs:
         try:
-            rec = run_one(*args, ntest=ntest, check=check)
+            rec = run_one(*args, ntest=ntest, check=check, inner=inner)
         except Exception as e:  # record the failure, keep sweeping
             rec = dict(
                 sweep=sweep, engine=args[3], n=args[1], p=args[2],
