@@ -223,3 +223,23 @@ def test_pallas_supergroup_presplit_x3_interpret():
     c = np.asarray(local_fn(tuple(x[0] for x in arrays), bp))
     ref = a.spmm_ref(b.astype(np.float64))
     assert rel_fro_err(ref, c[: a.nrow].astype(np.float64)) <= 1e-4
+
+
+@pytest.mark.parametrize("n", [512, 100])
+def test_pallas_supergroup_multi_ntile(n):
+    """sg variant with several N tiles per super-window (NJ > 1) and with
+    an n needing padding."""
+    from crp_tpu.kernels.dispatch import pack_local_kernel
+
+    a = banded_random_csr(2500, nnz_per_row=6, bandwidth=60, seed=92,
+                          dtype=np.float32)
+    arrays, local_fn = pack_local_kernel(
+        [(a.rowptr, a.colidx.astype(np.int32), a.val)], a.nrow, np.float32,
+        "pallas",
+    )
+    b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
+    bp = np.zeros((local_fn.min_b_rows, n), np.float32)
+    bp[: a.ncol] = b
+    c = np.asarray(local_fn(tuple(x[0] for x in arrays), bp))
+    ref = a.spmm_ref(b.astype(np.float64))
+    assert rel_fro_err(ref, c[: a.nrow].astype(np.float64)) <= 1e-5
