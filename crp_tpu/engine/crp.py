@@ -181,6 +181,7 @@ class CrpSpmm:
         rB_nrow_max = self._rb_rows
         local_fn = self._local_fn
         nk = len(self.d_kernel)
+        max_m = self.max_m
 
         def local(*args):
             kernel = tuple(x[0] for x in args[:nk])
@@ -189,7 +190,9 @@ class CrpSpmm:
                 b_loc[0, 0], send_idx[0], recv_dst[0], self_src[0], self_dst[0],
                 rB_nrow_max, "pm",
             )
-            return local_fn(kernel, rB)[None, None]
+            # pallas kernels return G*TM >= max_m rows; rd_C's internal
+            # layout is exactly max_m rows per panel, so trim here
+            return local_fn(kernel, rB)[:max_m][None, None]
 
         pmspec = P("pm", None)
         fn = jax.shard_map(

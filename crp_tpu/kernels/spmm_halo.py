@@ -133,7 +133,12 @@ def build_halo_plan(
     exp_from = np.zeros((p, p), dtype=np.int32)
     wait_bound = np.zeros((p, C_tk), dtype=np.int32)
     for i in range(p):
-        for c in range(los[i] // TK, min(-(-k_glb // TK), los[i] // TK + C_tk)):
+        # clamp to the rows THIS shard's window DMAs actually read
+        # (ws_rel.max() + W), not the cross-shard buf_rows: chunks past
+        # the extent would signal owner_sem without ever being drained by
+        # wait_until, overflowing the semaphore across execs
+        ext_tk = (int(ws_rel[i].max()) + W) // TK
+        for c in range(los[i] // TK, min(-(-k_glb // TK), los[i] // TK + ext_tk)):
             row = c * TK
             j = int(np.searchsorted(B_displs, row, side="right") - 1)
             j = min(j, p - 1)

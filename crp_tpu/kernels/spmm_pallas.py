@@ -309,7 +309,7 @@ def spmm_window_pallas(
 
 def _window_kernel_sg(
     ws_ref, base_ref, a_ref, b_hbm, o_ref, window, sem,
-    *, Wsg, Wc, TN, NJ, C, SG, compute_dtype, precision,
+    *, Wsg, Wc, TN, NJ, C, SG, compute_dtype, precision, acc_dtype,
 ):
     import jax
     import jax.numpy as jnp
@@ -371,7 +371,7 @@ def _window_kernel_sg(
         partial = jax.lax.dot_general(
             a_ref[0].astype(compute_dtype), bt.astype(compute_dtype),
             dims,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
             precision=precision,
         )
 
@@ -568,10 +568,14 @@ def spmm_window_pallas_sg(
     ws = packed.ws
     tiles = packed.tiles
 
+    acc_dtype = (
+        jnp.float64 if np.dtype(compute_dtype) == np.float64 else jnp.float32
+    )
     kern = functools.partial(
         _window_kernel_sg,
         Wsg=Wsg, Wc=Wc, TN=TN, NJ=n // TN, C=C, SG=SG,
         compute_dtype=compute_dtype, precision=precision,
+        acc_dtype=acc_dtype,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # ws, bases
@@ -594,7 +598,7 @@ def spmm_window_pallas_sg(
     fn = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G * TM, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G * TM, n), acc_dtype),
         interpret=interpret,
     )
     out = fn(jnp.asarray(ws), jnp.asarray(bases), jnp.asarray(tiles), b)

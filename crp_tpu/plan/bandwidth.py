@@ -119,6 +119,15 @@ def calc_bandwidth_part2d(
                 ((windows[:, 1] - windows[:, 0]).astype(np.int64) * n).sum()
             )
             split_m_cost = a_copy_cost1 + copy_b2
+        if split_m_cost == SIZE_MAX and split_n_cost == SIZE_MAX:
+            # neither axis can absorb this factor (m_split*p_i > m AND
+            # n_split*p_i > n): growing n_split past n would emit empty
+            # B/C column slabs — surface the nproc-too-large condition
+            raise ValueError(
+                f"bandwidth planner: cannot split factor {p_i} — "
+                f"m_split={m_split}*{p_i} > m={m} and "
+                f"n_split={n_split}*{p_i} > n={n}; reduce nproc"
+            )
         if split_m_cost < split_n_cost:
             m_split = trial_m
             curr_copy_b = copy_b2

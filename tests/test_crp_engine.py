@@ -94,3 +94,16 @@ def test_crp_gather_all_to_root(devices8):
     assert rel_fro_err(a.spmm_ref(b), c) <= 1e-12
     stat = eng.print_stat()
     assert "Alltoallv B necessary" in stat
+
+
+def test_crp_pallas_kernel_nonmultiple_tm(devices8):
+    """ADVICE r1 (high): kernel='pallas' returns G*TM >= max_m rows; the
+    internal-C reshape must trim to max_m (max_m=100 is not a TM=256
+    multiple)."""
+    a = banded_random_csr(400, nnz_per_row=30, bandwidth=30, seed=47)
+    n = 8
+    cfg = SpmmConfig(kernel="pallas")
+    eng = build(a, n, 4, devices8, config=cfg)
+    assert eng.max_m % 256 != 0
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12

@@ -243,3 +243,24 @@ def test_pallas_supergroup_multi_ntile(n):
     c = np.asarray(local_fn(tuple(x[0] for x in arrays), bp))
     ref = a.spmm_ref(b.astype(np.float64))
     assert rel_fro_err(ref, c[: a.nrow].astype(np.float64)) <= 1e-5
+
+
+def test_pallas_supergroup_fp64_accumulates_fp64():
+    """ADVICE r1: the sg variant must carry the fp64 accumulator path like
+    the non-sg kernel — kernel='pallas' with float64 data used to silently
+    accumulate in fp32 (~2.5e-8 rel err)."""
+    from crp_tpu.kernels.dispatch import pack_local_kernel
+
+    a = banded_random_csr(3000, nnz_per_row=7, bandwidth=80, seed=93,
+                          dtype=np.float64)
+    arrays, local_fn = pack_local_kernel(
+        [(a.rowptr, a.colidx.astype(np.int32), a.val)], a.nrow, np.float64,
+        "pallas",
+    )
+    assert len(arrays) == 3, "single banded shard must select the sg variant"
+    b = np.asarray(fill_b(0, a.ncol, 0, 48, dtype=np.float64))
+    bp = np.zeros((local_fn.min_b_rows, 48), np.float64)
+    bp[: a.ncol] = b
+    c = np.asarray(local_fn(tuple(x[0] for x in arrays), bp))
+    assert c.dtype == np.float64
+    assert rel_fro_err(a.spmm_ref(b), c[: a.nrow]) <= 1e-12
