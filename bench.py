@@ -10,6 +10,14 @@ deterministic synthetic with pwtk's structural statistics
 Metric: seconds per exec (B-row exchange degenerate at p=1 + local SpMM on
 device-resident B).  ``vs_baseline`` = reference_seconds / ours (>1 = faster
 than the reference's published number).
+
+The JSON line also carries a roofline audit: dense-window FLOPs (the
+windowed kernel executes dense-panel MXU work, not nominal sparse FLOPs),
+A/B/C HBM bytes per exec, achieved TFLOP/s and GB/s, and utilization
+against this chip's MEASURED peaks (bf16 MXU ~136 TF/s, HBM stream
+~371 GB/s through the relay — override with CRP_BENCH_MXU_PEAK /
+CRP_BENCH_HBM_PEAK, in TF/s / GB/s).  The reference publishes no
+FLOP/s (SURVEY.md section 6); this answers "how far from speed of light".
 """
 
 import json
@@ -35,7 +43,9 @@ def main():
     nrow = int(os.environ.get("CRP_BENCH_NROW", 217918))
     n = int(os.environ.get("CRP_BENCH_N", 256))
     ntest = int(os.environ.get("CRP_BENCH_NTEST", 5))
-    kernel = os.environ.get("CRP_BENCH_KERNEL", "pallas")
+    # "auto" resolves to the windowed pallas kernel on a single TPU chip
+    # (kernels/dispatch.resolve_auto_kernel) — the default a user gets
+    kernel = os.environ.get("CRP_BENCH_KERNEL", "auto")
     # headline runs the 3-pass bf16 MXU scheme (~5e-6 relative, vs ~1e-7
     # for "highest"); engines default to "highest" — accuracy-first
     os.environ.setdefault("CRP_TPU_MXU_PREC", "x3")
@@ -73,19 +83,40 @@ def main():
     t = float(np.min(times))
 
     gflops = 2.0 * a.nnz * n / t / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": f"pwtk-class {nrow}x{nrow} nnz={a.nnz} n={n} "
-                          f"single-chip SpMM exec ({kernel}/"
-                          f"{os.environ['CRP_TPU_MXU_PREC']}, "
-                          f"{gflops:.0f} GFLOP/s)",
-                "value": round(t, 5),
-                "unit": "s",
-                "vs_baseline": round(REFERENCE_SECONDS / t, 2),
-            }
+    prec = os.environ["CRP_TPU_MXU_PREC"]
+    record = {
+        "metric": f"pwtk-class {nrow}x{nrow} nnz={a.nnz} n={n} "
+                  f"single-chip SpMM exec ({eng.kernel_kind}/{prec}, "
+                  f"{gflops:.0f} GFLOP/s)",
+        "value": round(t, 5),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_SECONDS / t, 2),
+    }
+
+    # ---- roofline audit (windowed-kernel packs expose their geometry)
+    rl = getattr(getattr(eng, "_local_fn", None), "roofline", None)
+    if rl is not None:
+        tn = 256 if n % 256 == 0 else 128
+        nj = -(-n // tn)
+        n_pad = nj * tn
+        passes = {"x3": 3, "highest": 6, "default": 1}.get(prec, 1)
+        dense_flops = 2.0 * rl["G"] * rl["TM"] * rl["W"] * n_pad
+        mxu_flops = dense_flops * passes
+        a_bytes = rl["a_bytes"] * nj       # A panels re-stream per N tile
+        b_bytes = rl["b_rows_read"] * n_pad * rl["b_itemsize"]
+        c_bytes = rl["c_rows"] * n_pad * 4  # fp32 accumulator writeback
+        hbm_bytes = a_bytes + b_bytes + c_bytes
+        mxu_peak = float(os.environ.get("CRP_BENCH_MXU_PEAK", 136)) * 1e12
+        hbm_peak = float(os.environ.get("CRP_BENCH_HBM_PEAK", 371)) * 1e9
+        record.update(
+            dense_gflops_per_exec=round(dense_flops / 1e9, 1),
+            hbm_gb_per_exec=round(hbm_bytes / 1e9, 3),
+            achieved_tflops=round(mxu_flops / t / 1e12, 2),
+            achieved_gbps=round(hbm_bytes / t / 1e9, 1),
+            mxu_util=round(mxu_flops / t / mxu_peak, 3),
+            hbm_util=round(hbm_bytes / t / hbm_peak, 3),
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -15,13 +15,16 @@ blocks; the engine
   4. runs the local SpMM kernel (MKL/cuSPARSE -> ``kernels.dispatch``),
   5. reshards C to the user layout (``rd_C``).
 
-A placement differs by design: the reference redistributes A's nnz vectors
-and allgathers them on every exec (``crpspmm.c:559-584``) because A arrives
-distributed; here the planner holds A, so panels are placed replicated
-along ``pn`` at init.  The corresponding comm volumes are still computed
-and reported exactly as the reference audit does (``crpspmm.c:448-456``),
-including the "Alltoallv B necessary" minimal-volume metric
-(``crpspmm.c:587-600``).
+A may arrive either as a host-global ``CSRMatrix`` (the planner holds A;
+panels are placed replicated along ``pn`` at init) or *already distributed*
+as per-device row-range blocks (:class:`~crp_tpu.shard.dist_a.DistCSR`,
+the v1 ``src_A_*`` arguments): then only O(m) metadata is assembled on the
+host, and the O(nnz) payload moves with device collectives — the
+``rd_Ai``/``rd_Av`` nnz-vector reshard plus the Allgatherv-A panel assembly
+(``crpspmm.c:240-265,559-584`` -> ``shard.dist_a.ingest_dist_a``).  The
+comm volumes are computed and reported exactly as the reference audit does
+(``crpspmm.c:448-456``), including the "Alltoallv B necessary"
+minimal-volume metric (``crpspmm.c:587-600``).
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ class CrpSpmm:
 
     def __init__(
         self,
-        a,                        # global CSRMatrix (m x k)
+        a,                        # global CSRMatrix (m x k) or DistCSR blocks
         n: int,
         user_B: BlockDist,        # p user-owned B blocks (k x n coordinates)
         user_C: BlockDist,        # p user-owned C blocks (m x n coordinates)
@@ -73,10 +76,16 @@ class CrpSpmm:
     # ------------------------------------------------------------------ init
     def _build(self, a, user_B, user_C, mesh, bplan=None) -> None:
         p = self.nproc
+        from ..shard.dist_a import DistCSR, ingest_dist_a
+
+        is_dist = isinstance(a, DistCSR)
         # 1. bandwidth-bound planner (v1, crpspmm.c:133-195) — or a plan
-        # the caller already computed (the CLIs plan first for the mesh)
+        # the caller already computed (the CLIs plan first for the mesh).
+        # For distributed A only the O(m) metadata is assembled host-side
+        # (crpspmm.c:90-131): global rowptr + per-row colidx ranges.
+        grp = a.global_rowptr() if is_dist else a.rowptr
         bp = bplan if bplan is not None else calc_bandwidth_part2d(
-            p, self.m, self.n, self.k, a.rowptr, a.row_col_ranges()
+            p, self.m, self.n, self.k, grp, a.row_col_ranges()
         )
         self.bplan = bp
         pm, pn = bp.np_row, bp.np_col
@@ -94,10 +103,22 @@ class CrpSpmm:
         self.rd_B = RedistEngine(user_B, internal_B, self.mesh, dtype=self.dtype)
         self.rd_C = RedistEngine(internal_C, user_C, self.mesh, dtype=self.dtype)
 
-        # 3. B-row exchange along pm within each column group
-        panels = [
-            a.row_slice(int(m_idx[i]), int(m_idx[i + 1])) for i in range(pm)
-        ]
+        # 3. B-row exchange along pm within each column group.
+        # Host-global A: panels sliced host-side, replicated by placement.
+        # Distributed A: the real device path — rd_Ai/rd_Av nnz reshard +
+        # all_gather along pn (crpspmm.c:240-265,559-584).
+        if is_dist:
+            panels, self.nelem_A_rd, self.nelem_A_agv = ingest_dist_a(
+                a, m_idx, pm, pn, self.mesh, val_dtype=self.dtype
+            )
+        else:
+            panels = [
+                a.row_slice(int(m_idx[i]), int(m_idx[i + 1]))
+                for i in range(pm)
+            ]
+            self.nelem_A_rd = int(a.nnz)
+            panel_nnz0 = np.array([pl_.nnz for pl_ in panels], dtype=np.int64)
+            self.nelem_A_agv = 0 if pn == 1 else int(panel_nnz0.sum() * pn)
         self.max_m = max(max(pl_.nrow for pl_ in panels), 1)
         fine = bool(self.config.a2a_b_finegrain)
         self.fine = fine
@@ -119,18 +140,27 @@ class CrpSpmm:
             else:
                 cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
             shards_compact.append((s.rowptr, cc, s.val))
-        kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
+        from ..kernels.dispatch import resolve_auto_kernel
         from ..kernels.spmm_pallas import UnsupportedSparsity
 
+        kind = self.config.kernel
+        if kind == "auto":
+            # no fused-halo or dd exec path in this engine (yet): the
+            # exchange here is driven by the coarse/fine plan geometry
+            kind = resolve_auto_kernel(
+                self.dtype, pm, allow_halo=False, allow_dd=False
+            )
         try:
             arrays, self._local_fn = pack_local_kernel(
                 shards_compact, self.max_m, self.dtype, kind,
                 mxu_precision=self.config.mxu_precision,
             )
         except UnsupportedSparsity:
+            kind = "segsum"
             arrays, self._local_fn = pack_local_kernel(
                 shards_compact, self.max_m, self.dtype, "segsum"
             )
+        self.kernel_kind = kind
         self._rb_rows = max(
             self.xplan.rB_nrow_max, getattr(self._local_fn, "min_b_rows", 1), 1
         )
@@ -153,11 +183,8 @@ class CrpSpmm:
         self.max_nloc = int(max(np.diff(bc_cols).max(), 1))
         self._spmm_jit = self._make_spmm()
 
-        # ------- audit (crpspmm.c:448-456, 587-600)
+        # ------- audit (crpspmm.c:448-456, 587-600); A counters set above
         loc_ncols = np.diff(bc_cols)
-        panel_nnz = np.array([pl_.nnz for pl_ in panels], dtype=np.int64)
-        self.nelem_A_rd = int(a.nnz)
-        self.nelem_A_agv = 0 if pn == 1 else int(panel_nnz.sum() * pn)
         self.nelem_B_rd = self.rd_B.nelem_dst
         if pm == 1:
             self.nelem_B_a2av = 0

@@ -66,15 +66,62 @@ class Para2dSpmm:
         self.t_init = t0.t["init"]
 
     # ------------------------------------------------------------------ init
+    @classmethod
+    def from_dist_a(
+        cls,
+        dist,                 # shard.dist_a.DistCSR in the plan's A0 layout
+        plan: Plan2D,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        config: Optional[SpmmConfig] = None,
+        dtype=None,
+    ) -> "Para2dSpmm":
+        """Init from *distributed* A: device ``i*pn+j`` owns A0 block
+        ``i*pn+j`` (the layout ``scatter_csr_rows`` produces,
+        ``examples/test_utils.c:57-119``); panels are assembled with a
+        device-side ``all_gather`` along pn — the two overlapped
+        ``MPI_Iallgatherv`` of ``para2d_spmm_init``
+        (``src/para2d_spmm.c:47-100``).  Never builds a host-global A."""
+        self = cls.__new__(cls)
+        self.config = config or SpmmConfig()
+        self.plan = plan
+        self.pm, self.pn = plan.pm, plan.pn
+        self.glb_n = plan.n
+        self.mesh = mesh if mesh is not None else make_mesh_2d(self.pm, self.pn)
+        self.dtype = np.dtype(dtype if dtype is not None else self.config.dtype)
+        self.timer = Timer()
+        t0 = Timer()
+        with t0.phase("init"):
+            from ..shard.dist_a import replicate_a0
+
+            panels = replicate_a0(
+                dist, plan.A0_rowptr, self.pm, self.pn, self.mesh,
+                val_dtype=self.dtype,
+            )
+            # rA_cost audit comes from the LAST rank's block nnz
+            # (src/para2d_spmm.c:102-109)
+            last_blk_nnz = int(np.asarray(dist.rowptrs[-1][-1])) - int(
+                np.asarray(dist.rowptrs[-1][0])
+            )
+            self._build_from_panels(panels, last_blk_nnz)
+        self.t_init = t0.t["init"]
+        return self
+
     def _build(self, a) -> None:
+        plan = self.plan
+        panels = [
+            a.row_slice(int(plan.AC_rowptr[i]), int(plan.AC_rowptr[i + 1]))
+            for i in range(self.pm)
+        ]
+        last_blk_nnz = int(
+            a.rowptr[plan.A0_rowptr[-1]] - a.rowptr[plan.A0_rowptr[-2]]
+        )
+        self._build_from_panels(panels, last_blk_nnz)
+
+    def _build_from_panels(self, panels, last_blk_nnz: int) -> None:
         plan = self.plan
         pm, pn = self.pm, self.pn
 
         # Replicated-A row panels (one per pm row, shared by the pn group)
-        panels = [
-            a.row_slice(int(plan.AC_rowptr[i]), int(plan.AC_rowptr[i + 1]))
-            for i in range(pm)
-        ]
         self.max_m = max(max(p_.nrow for p_ in panels), 1)
 
         # B ownership must cover every column of A; the planner's B_rowptr
@@ -82,14 +129,20 @@ class Para2dSpmm:
         # spmat_part.c:175-178), which exclude trailing empty rows — extend
         # internally (plan arrays stay reference-identical for the oracle)
         self._B_displs = np.asarray(plan.B_rowptr, dtype=np.int64).copy()
-        if int(self._B_displs[-1]) < a.ncol:
-            self._B_displs[-1] = a.ncol
+        if int(self._B_displs[-1]) < plan.k:
+            self._B_displs[-1] = plan.k
 
         reidx = bool(self.config.rb_reidx)
         self.xplan = build_b_exchange(
             [p_.colidx for p_ in panels], self._B_displs, reidx=reidx
         )
-        kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
+        from ..kernels.dispatch import resolve_auto_kernel
+
+        kind = self.config.kernel
+        if kind == "auto":
+            kind = resolve_auto_kernel(
+                self.dtype, pm, overlap=bool(self.config.overlap)
+            )
         self.overlap = bool(self.config.overlap)
         self.is_dd = kind == "dd"
         self.is_halo = kind == "pallas_halo"
@@ -187,6 +240,7 @@ class Para2dSpmm:
                     "kernel=%r rejected this sparsity (%s); falling back "
                     "to segsum", kind, e,
                 )
+                kind = "segsum"
                 arrays, self._local_fn = pack_local_kernel(
                     shards_compact, self.max_m, self.dtype, "segsum"
                 )
@@ -212,15 +266,16 @@ class Para2dSpmm:
                 self.d_recv_dst = put_pm(self.xplan.recv_dst)
                 self.d_self_src = put_pm(self.xplan.self_src)
                 self.d_self_dst = put_pm(self.xplan.self_dst)
+        # resolved kernel after auto-selection and sparsity fallbacks
+        self.kernel_kind = "pallas_halo" if self.is_halo else kind
         self.max_nloc = int(max(np.diff(plan.BC_colptr).max(), 1))
         self.b_sharding = NamedSharding(self.mesh, P("pm", "pn", None, None))
         self._exec_jit = self._make_exec()
 
         # ------- audit (reference para2d_spmm.c:102-109, rowpara_spmm.c:149)
-        last_nnz = int(
-            a.rowptr[plan.A0_rowptr[-1]] - a.rowptr[plan.A0_rowptr[-2]]
+        self.rA_cost = int(
+            float(last_blk_nnz) * float(pn - 1) * NNZ_COST_FACTOR
         )
-        self.rA_cost = int(float(last_nnz) * float(pn - 1) * NNZ_COST_FACTOR)
         self.rB_recv_size = int(self.xplan.total_recv_rows)  # rows, x n when printed
 
     def _make_exec(self):

@@ -91,7 +91,13 @@ class RowParaSpmm:
         self.xplan = build_b_exchange(
             [s.colidx for s in shards], self.B_row_displs, reidx=reidx
         )
-        kind = self.config.kernel if self.config.kernel != "auto" else "segsum"
+        from ..kernels.dispatch import resolve_auto_kernel
+
+        kind = self.config.kernel
+        if kind == "auto":
+            kind = resolve_auto_kernel(
+                self.dtype, p, overlap=bool(self.config.overlap)
+            )
         self.overlap = bool(self.config.overlap)
         self.is_dd = kind == "dd"
         self.is_halo = kind == "pallas_halo"
@@ -185,6 +191,7 @@ class RowParaSpmm:
                     "kernel=%r rejected this sparsity (%s); falling back "
                     "to segsum", kind, e,
                 )
+                kind = "segsum"
                 arrays, self._local_fn = pack_local_kernel(
                     shards_compact, self.max_m, self.dtype, "segsum"
                 )
@@ -213,6 +220,8 @@ class RowParaSpmm:
                 self.d_self_src = put(self.xplan.self_src)
                 self.d_self_dst = put(self.xplan.self_dst)
 
+        # resolved kernel after auto-selection and sparsity fallbacks
+        self.kernel_kind = "pallas_halo" if self.is_halo else kind
         self.b_sharding = NamedSharding(self.mesh, P(self.axis, None, None))
         self._exec_jit = self._make_exec()
         if not (self.overlap or self.is_halo or self._identity_exchange):

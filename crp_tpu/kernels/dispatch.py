@@ -23,6 +23,41 @@ from .spmm_jnp import DeviceCSR, pack_device_csr, spmm_segment_sum
 from .spmm_ell import pack_ell, spmm_ell
 
 
+def resolve_auto_kernel(
+    dtype,
+    nshards: int,
+    *,
+    overlap: bool = False,
+    allow_halo: bool = True,
+    allow_dd: bool = True,
+) -> str:
+    """Backend-, accuracy-, and topology-aware choice for ``kernel="auto"``.
+
+    The reference's local-SpMM seam auto-selects MKL on the host and
+    cuSPARSE under ``USE_CUDA`` (``src/rowpara_spmm.c:386-413``,
+    ``deprecated/src/crpspmm.c:647-676``); the TPU analog picks the fastest
+    kernel the backend supports, relying on the engines' existing
+    ``UnsupportedSparsity`` fallback chain (halo -> pallas -> segsum):
+
+      * non-TPU backends -> ``"segsum"`` (portable, exact in fp64)
+      * TPU + float64 data -> ``"dd"`` (double-float: fp64-class accuracy
+        on fp32 hardware); ``"segsum"`` where dd is unsupported (overlap
+        schedule, engines that don't pack hi/lo B)
+      * TPU, multi-shard 1D/2D engines -> ``"pallas_halo"`` (fused
+        exchange + MXU compute)
+      * TPU otherwise -> ``"pallas"`` (windowed MXU kernel)
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "segsum"
+    if np.dtype(dtype) == np.float64:
+        return "dd" if (allow_dd and not overlap) else "segsum"
+    if allow_halo and not overlap and nshards > 1:
+        return "pallas_halo"
+    return "pallas"
+
+
 def pack_local_kernel(
     shards: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     max_m: int,
@@ -216,6 +251,11 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
                 return c.astype(rB.dtype)
 
             local_fn.min_b_rows = min_b_rows
+            local_fn.roofline = dict(
+                G=G_sg, TM=TM, W=W, a_bytes=ah.nbytes + al.nbytes,
+                b_rows_read=sgc * Wsg, c_rows=G_sg * TM,
+                b_itemsize=np.dtype(dtype).itemsize,
+            )
             return (ws, ah, al, bases[None]), local_fn
 
         def local_fn(arrs, rB):
@@ -234,6 +274,11 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
             return c.astype(rB.dtype)
 
         local_fn.min_b_rows = min_b_rows
+        local_fn.roofline = dict(
+            G=G_sg, TM=TM, W=W, a_bytes=tiles.nbytes,
+            b_rows_read=sgc * Wsg, c_rows=G_sg * TM,
+            b_itemsize=np.dtype(dtype).itemsize,
+        )
         return (ws, tiles, bases[None]), local_fn
 
     def local_fn(arrs, rB):
@@ -248,5 +293,10 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
         return c.astype(rB.dtype)  # see sg variant: engines trim at unshard
 
     local_fn.min_b_rows = min_b_rows
+    local_fn.roofline = dict(
+        G=G, TM=TM, W=W, a_bytes=tiles.nbytes,
+        b_rows_read=G * W, c_rows=G * TM,
+        b_itemsize=np.dtype(dtype).itemsize,
+    )
     arrays = (ws, tiles)
     return arrays, local_fn

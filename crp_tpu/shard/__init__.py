@@ -1,3 +1,4 @@
+from .dist_a import DistCSR
 from .layout import (
     stack_padded,
     shard_dense_rows,
@@ -7,6 +8,7 @@ from .layout import (
 )
 
 __all__ = [
+    "DistCSR",
     "stack_padded",
     "shard_dense_rows",
     "unshard_dense_rows",
