@@ -89,7 +89,7 @@ def main(argv=None) -> int:
         user_B = BlockDist.from_row_slabs(uniform_displs(a.ncol, nproc), glb_n)
         user_C = BlockDist.from_row_slabs(uniform_displs(a.nrow, nproc), glb_n)
         bp = calc_bandwidth_part2d(
-            nproc, a.nrow, glb_n, a.ncol, a.rowptr, a.row_col_ranges()
+            nproc, a.nrow, glb_n, a.ncol, a.rowptr, a.row_col_ranges_v1()
         )
         eng = CrpSpmm(
             a, glb_n, user_B, user_C, nproc=nproc,

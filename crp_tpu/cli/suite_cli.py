@@ -90,7 +90,7 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
         user_B = BlockDist.from_row_slabs(uniform_displs(a.ncol, p), n)
         user_C = BlockDist.from_row_slabs(uniform_displs(a.nrow, p), n)
         bp = calc_bandwidth_part2d(
-            p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges()
+            p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges_v1()
         )
         rec["pm"], rec["pn"] = bp.np_row, bp.np_col
         rec["plan_s"] = round(time.perf_counter() - t0, 4)

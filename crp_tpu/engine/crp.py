@@ -85,7 +85,7 @@ class CrpSpmm:
         # (crpspmm.c:90-131): global rowptr + per-row colidx ranges.
         grp = a.global_rowptr() if is_dist else a.rowptr
         bp = bplan if bplan is not None else calc_bandwidth_part2d(
-            p, self.m, self.n, self.k, grp, a.row_col_ranges()
+            p, self.m, self.n, self.k, grp, a.row_col_ranges_v1()
         )
         self.bplan = bp
         pm, pn = bp.np_row, bp.np_col

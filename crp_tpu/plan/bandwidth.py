@@ -9,6 +9,20 @@ range* upper bound ``[min_col, max_col]`` from per-row colidx ranges — not by
 exact distinct-column counts.  Cheaper than the exact planner (O(m) per
 factor, no nnz pass), useful when exact counting is too slow.
 
+Decision parity is oracle-locked against the compiled reference driver
+(``tests/test_bandwidth_oracle.py``), which pins three reference quirks:
+
+  * per-row ranges are the v1 ``A_cidx_se`` values — EMPTY rows read their
+    neighbours' first/last columns (``crpspmm.c:111-117``; pass
+    ``row_col_ranges_v1()``, not the clean ``row_col_ranges()``);
+  * the last row panel's boundary stops at the first row whose rowptr
+    reaches ``A_nnz`` — trailing empty rows stay OUTSIDE every panel
+    (``crpspmm.c:167-183``; their C rows are zero, engines leave them
+    untouched);
+  * per-panel B-copy sizes accumulate in C ``size_t``: a quirk-negative
+    window extent wraps modulo 2^64 (``crpspmm.c:181``), making that
+    split-M candidate effectively infinite.
+
 Requires colidx sorted within each row (``deprecated/src/crpspmm.c:108``).
 """
 
@@ -22,6 +36,7 @@ from ..utils.blocks import uniform_displs
 from .partition1d import prime_factorization
 
 SIZE_MAX = (1 << 64) - 1
+_M64 = 1 << 64
 NNZ_COST_FACTOR = 1.5
 
 
@@ -37,7 +52,7 @@ class BandwidthPlan:
     B_rd_row_displs: np.ndarray  # (np_row+1,) uniform internal B row slabs
     BC_colptr: np.ndarray     # (np_col+1,) uniform B/C column slabs
     B_windows: np.ndarray     # (np_row, 2) per row panel [loc_B_srow, loc_B_erow)
-    copy_B_size: int          # final B-copy cost term (elements)
+    copy_B_size: int          # final B-copy cost term (elements, size_t)
 
 
 def _panel_boundaries(rowptr: np.ndarray, m: int, nsplit: int) -> np.ndarray:
@@ -45,35 +60,47 @@ def _panel_boundaries(rowptr: np.ndarray, m: int, nsplit: int) -> np.ndarray:
 
     Panel j ends at the first row index > its start whose rowptr reaches the
     quota ``A_nnz // nsplit * (j+1)`` (``deprecated/src/crpspmm.c:163-183``).
+    The last quota is ``A_nnz`` itself, so the final boundary is the first
+    row index past the last nonzero — NOT ``m`` when trailing rows are
+    empty (reference parity; see module docstring).
     """
     a_nnz = int(rowptr[m])
+    quotas = (a_nnz // nsplit) * np.arange(1, nsplit + 1, dtype=np.int64)
+    quotas[-1] = a_nnz
+    e = np.searchsorted(rowptr[: m + 1], quotas, side="left").astype(np.int64)
+    # each scan starts at srow + 1 => enforce e_j >= e_{j-1} + 1 (and >= 1)
+    e = np.maximum(e, 1)
+    j = np.arange(nsplit, dtype=np.int64)
+    e = np.maximum.accumulate(e - j) + j
     idx = np.empty(nsplit + 1, dtype=np.int64)
     idx[0] = 0
-    cur = 0
-    for j in range(nsplit):
-        quota = a_nnz if j == nsplit - 1 else (a_nnz // nsplit) * (j + 1)
-        erow = int(np.searchsorted(rowptr, quota, side="left"))
-        erow = max(erow, cur + 1)
-        if j == nsplit - 1:
-            erow = m
-        idx[j + 1] = erow
-        cur = erow
+    idx[1:] = e
     return idx
 
 
 def _panel_b_windows(ranges: np.ndarray, idx: np.ndarray) -> np.ndarray:
-    """Per-panel [min_col, max_col+1) windows from per-row colidx ranges."""
+    """Per-panel [min_col, max_col+1) windows from per-row v1 ranges.
+
+    Only rows inside panels (``< idx[-1]``) participate, exactly like the
+    reference scan; a window may have NEGATIVE extent when the empty-row
+    quirk inverts min/max — callers must treat it like the reference does
+    (size_t wrap in costs, empty row list in exchanges)."""
     nsplit = idx.shape[0] - 1
     starts = idx[:-1]
-    mins = np.minimum.reduceat(ranges[:, 0], starts)
-    maxs = np.maximum.reduceat(ranges[:, 1], starts)
+    r = ranges[: int(idx[-1])]
     out = np.empty((nsplit, 2), dtype=np.int64)
-    out[:, 0] = mins
-    # panels of only-empty rows carry ranges [ncol, -1]; clamp to an empty
-    # window instead of a negative extent (which would subtract from the
-    # planner's B-copy cost and emit invalid coarse row lists)
-    out[:, 1] = np.maximum(maxs + 1, mins)
+    out[:, 0] = np.minimum.reduceat(r[:, 0], starts)
+    out[:, 1] = np.maximum.reduceat(r[:, 1], starts) + 1
     return out
+
+
+def _copy_b_size(windows: np.ndarray, n: int) -> int:
+    """sum over panels of (size_t)(max-min+1) * n, in C size_t arithmetic
+    (``deprecated/src/crpspmm.c:181``)."""
+    total = 0
+    for w in (windows[:, 1] - windows[:, 0]).tolist():
+        total = (total + (int(w) % _M64) * n) % _M64
+    return total
 
 
 def calc_bandwidth_part2d(
@@ -86,9 +113,10 @@ def calc_bandwidth_part2d(
 ) -> BandwidthPlan:
     """Greedy split-M / split-N search with bandwidth-bound B cost.
 
-    ``row_ranges`` is the (m, 2) per-row [min colidx, max colidx] array
-    (``CSRMatrix.row_col_ranges``); the reference allgathers these at v1
-    engine init (``deprecated/src/crpspmm.c:107-131``).
+    ``row_ranges`` is the (m, 2) per-row [min colidx, max colidx] array in
+    the reference's v1 semantics — ``CSRMatrix.row_col_ranges_v1()`` /
+    ``DistCSR.row_col_ranges_v1()`` (the engine allgathers these at init,
+    ``deprecated/src/crpspmm.c:107-131``).
     """
     rowptr = np.asarray(rowptr)
     row_ranges = np.asarray(row_ranges)
@@ -103,22 +131,21 @@ def calc_bandwidth_part2d(
         p_i = fac[nfac - 1 - i]
         # Split N: B copies unchanged, A copies multiplied by p_i
         a_copy_cost1 = int(float(a_nnz) * float(n_split) * NNZ_COST_FACTOR)
-        split_n_cost = a_copy_cost1 * p_i + curr_copy_b
+        split_n_cost = (a_copy_cost1 * p_i + curr_copy_b) % _M64
         if n_split * p_i > n:
             split_n_cost = SIZE_MAX
         # Split M: A copies unchanged, recompute panel B ranges
         trial_m = m_split * p_i
         if trial_m > m:
-            # more row panels than rows (guard symmetric with split-N's)
+            # more row panels than rows: the reference scans past rowptr's
+            # end (undefined behaviour) — treat as infeasible instead
             split_m_cost = SIZE_MAX
             idx2, copy_b2 = m_split_idx, curr_copy_b
         else:
             idx2 = _panel_boundaries(rowptr, m, trial_m)
             windows = _panel_b_windows(row_ranges, idx2)
-            copy_b2 = int(
-                ((windows[:, 1] - windows[:, 0]).astype(np.int64) * n).sum()
-            )
-            split_m_cost = a_copy_cost1 + copy_b2
+            copy_b2 = _copy_b_size(windows, n)
+            split_m_cost = (a_copy_cost1 + copy_b2) % _M64
         if split_m_cost == SIZE_MAX and split_n_cost == SIZE_MAX:
             # neither axis can absorb this factor (m_split*p_i > m AND
             # n_split*p_i > n): growing n_split past n would emit empty

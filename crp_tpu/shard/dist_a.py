@@ -127,6 +127,36 @@ class DistCSR:
             out[r0:r1][nonempty, 1] = hi
         return out
 
+    def row_col_ranges_v1(self) -> np.ndarray:
+        """Per-row ranges with the v1 empty-row quirk
+        (``CSRMatrix.row_col_ranges_v1``): empty rows read their
+        neighbours' first/last columns.  Computed per shard from local
+        arrays exactly as the reference does before the allgather
+        (``deprecated/src/crpspmm.c:111-117``); local out-of-bounds reads
+        (empty rows at shard edges) are clipped within the shard."""
+        out = np.empty((self.m, 2), dtype=np.int64)
+        for i in range(self.p):
+            r0, r1 = int(self.row_displs[i]), int(self.row_displs[i + 1])
+            rp = np.asarray(self.rowptrs[i], dtype=np.int64)
+            base = int(rp[0])
+            loc_nnz = int(rp[-1]) - base
+            if loc_nnz == 0:
+                out[r0:r1, 0] = self.k
+                out[r0:r1, 1] = -1
+                continue
+            firsts = np.minimum(rp[:-1] - base, loc_nnz - 1)
+            lasts = np.maximum(rp[1:] - 1 - base, 0)
+            ci = self.colidxs[i]
+            if isinstance(ci, jax.Array):
+                lo = np.asarray(jnp.take(ci, jnp.asarray(firsts)))
+                hi = np.asarray(jnp.take(ci, jnp.asarray(lasts)))
+            else:
+                ci = np.asarray(ci)
+                lo, hi = ci[firsts], ci[lasts]
+            out[r0:r1, 0] = lo
+            out[r0:r1, 1] = hi
+        return out
+
     @property
     def nnz(self) -> int:
         return int(np.asarray(self.rowptrs[-1][-1]))

@@ -138,6 +138,27 @@ class CSRMatrix:
         row = np.repeat(np.arange(self.nrow), np.diff(self.rowptr))
         return int(np.abs(self.colidx - row).max())
 
+    def row_col_ranges_v1(self) -> np.ndarray:
+        """(nrow, 2) per-row [min, max] colidx exactly as the v1 engine
+        assembles ``A_cidx_se_glb`` (``deprecated/src/crpspmm.c:111-117``):
+        row i's entries read ``colidx[rowptr[i]]`` and
+        ``colidx[rowptr[i+1]-1]`` even for EMPTY rows — pulling the
+        neighbouring rows' columns.  The bandwidth planner's window costs
+        and the v1 engine's coarse exchange windows (``crpspmm.c:216-225``)
+        depend on this quirk, so decision parity requires it.  Reads that
+        the reference leaves out-of-bounds (leading/trailing empty rows)
+        are clipped in-range here.
+        """
+        out = np.empty((self.nrow, 2), dtype=np.int64)
+        nnz = self.nnz
+        if nnz == 0:
+            out[:, 0] = self.ncol
+            out[:, 1] = -1
+            return out
+        out[:, 0] = self.colidx[np.minimum(self.rowptr[:-1], nnz - 1)]
+        out[:, 1] = self.colidx[np.maximum(self.rowptr[1:] - 1, 0)]
+        return out
+
     def row_col_ranges(self) -> np.ndarray:
         """(nrow, 2) per-row [min colidx, max colidx] (undefined for empty rows).
 

@@ -41,14 +41,40 @@ def oracle_cases():
     er_cols = np.array([0, 3, 1, 2, 7, 9, 12, 40, 41, 99])
     empty = CSRMatrix.from_coo(100, 100, er_rows, er_cols,
                                np.ones(er_rows.shape[0]))
+    # k > m rectangular (transpose-shaped: wide)
+    rect_km = CSRMatrix.from_coo(
+        2000, 3000,
+        np.repeat(np.arange(2000), np.diff(banded.rowptr[:2001])),
+        banded.colidx[: int(banded.rowptr[2000])],
+        banded.val[: int(banded.rowptr[2000])],
+    )
+    # heavy empty-row blocks: long interior runs of empty rows
+    hr = np.concatenate([np.arange(200), np.arange(1200, 1500),
+                         np.arange(2700, 2999)])
+    hkeep = np.isin(np.repeat(np.arange(banded.nrow), np.diff(banded.rowptr)),
+                    hr)
+    hrows = np.repeat(np.arange(banded.nrow), np.diff(banded.rowptr))[hkeep]
+    holes = CSRMatrix.from_coo(3000, 3000, hrows, banded.colidx[hkeep],
+                               banded.val[hkeep])
     for n in (1, 16, 256, 2048):
         for nproc in (2, 4, 6, 8, 12):
             cases.append((f"banded_n{n}_p{nproc}", banded, n, nproc, 1))
             cases.append((f"plaw_n{n}_p{nproc}", plaw, n, nproc, 1))
+    # composite / prime / large p: the greedy factor loop + boundary merge
+    # (rb_displs0[::pn2]) corner cases (VERDICT round 1)
+    for nproc in (16, 17, 24, 32, 64):
+        cases.append((f"banded_n256_p{nproc}", banded, 256, nproc, 1))
+        cases.append((f"plaw_n256_p{nproc}", plaw, 256, nproc, 1))
     cases.append(("rect_n256_p8", rect, 256, 8, 1))
     cases.append(("rect_n64_p6", rect, 64, 6, 1))
+    cases.append(("rect_km_n256_p8", rect_km, 256, 8, 1))
+    cases.append(("rect_km_n64_p24", rect_km, 64, 24, 1))
     cases.append(("empty_n32_p4", empty, 32, 4, 1))
+    cases.append(("holes_n256_p8", holes, 256, 8, 1))
+    cases.append(("holes_n64_p16", holes, 64, 16, 1))
     cases.append(("banded_rA4_n256_p8", banded, 256, 8, 4))
+    cases.append(("banded_rA2_n256_p16", banded, 256, 16, 2))
+    cases.append(("plaw_rA4_n64_p24", plaw, 64, 24, 4))
     return cases
 
 

@@ -26,7 +26,7 @@ def build(a, n, p, devices8, config=None, user_B=None, user_C=None):
     # need the planner's grid to build the mesh, so construct in two steps
     from crp_tpu.plan.bandwidth import calc_bandwidth_part2d
 
-    bp = calc_bandwidth_part2d(p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges())
+    bp = calc_bandwidth_part2d(p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges_v1())
     mesh = make_mesh_2d(bp.np_row, bp.np_col, devices=devices8)
     return CrpSpmm(a, n, user_B, user_C, nproc=p, mesh=mesh, config=config)
 

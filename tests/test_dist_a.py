@@ -49,7 +49,7 @@ def test_ingest_dist_a_assembles_panels(devices8):
     a = banded_random_csr(400, nnz_per_row=25, bandwidth=30, seed=52)
     p = 8
     bp = calc_bandwidth_part2d(
-        p, a.nrow, 16, a.ncol, a.rowptr, a.row_col_ranges()
+        p, a.nrow, 16, a.ncol, a.rowptr, a.row_col_ranges_v1()
     )
     mesh = make_mesh_2d(bp.np_row, bp.np_col, devices=devices8)
     d = DistCSR.from_global(a, uniform_displs(a.nrow, p))
@@ -76,7 +76,7 @@ def test_crp_dist_a_end_to_end(maker, seed, devices8):
     n = 16
     p = 8
     bp = calc_bandwidth_part2d(
-        p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges()
+        p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges_v1()
     )
     mesh = make_mesh_2d(bp.np_row, bp.np_col, devices=devices8)
     user_B = BlockDist.from_grid(uniform_displs(a.ncol, p), uniform_displs(n, 1))
