@@ -30,7 +30,7 @@ def format_stat_table(
             f"Physical exchanged rows per exec (padded) = {physical_rows}"
         )
     lines.append("-------------------- Runtime (s) --------------------")
-    lines.append("                                     avg")
+    lines.append("                                     min     avg     max")
     label = {
         "pack": "Pack B matrix for redistribution ",
         "a2a": "Redistribute B matrix            ",
@@ -40,5 +40,8 @@ def format_stat_table(
     }
     for key, text in label.items():
         if key in timer.t:
-            lines.append(f"{text} {timer.t[key] / n:6.3f}")
+            lines.append(
+                f"{text} {timer.min(key):6.3f}  {timer.t[key] / n:6.3f}"
+                f"  {timer.max(key):6.3f}"
+            )
     return "\n".join(lines)

@@ -10,9 +10,13 @@ error-free transformations:
   * ``two_sum``  (Knuth): exact error of an fp32 add;
   * ``two_prod`` (Dekker split, factor 2^12+1): exact error of an fp32
     multiply without FMA;
-  * products and accumulations composed as double-float ops, per-row
-    accumulation sequentially over ELL slots (L steps of vectorized VPU
-    ops), so the error stays O(L * 2^-48) — ~1e-13 at L = 100.
+  * products and accumulations composed as double-float ops; per-row
+    accumulation is a pairwise tree over the ELL slots (log2(L) unrolled
+    vectorized VPU levels), so the error stays O(log L * 2^-48) — and the
+    unrolled dependency chain stays shallow: XLA's CPU backend exhibits
+    super-linear compile time in the *depth* of an unrolled EFT chain
+    (measured: 3 s at depth 10, 24 s at depth 13, unbounded at 20), while
+    a depth-5 tree over 20 slots compiles instantly.
 
 All arithmetic must round to fp32 exactly as written: XLA preserves IEEE
 semantics for these ops (no fast-math reassociation), which the EFT
@@ -119,28 +123,34 @@ def spmm_ell_dd(
     val_lo: jax.Array,        # (m, L) fp32
     b_packed: jax.Array,      # (k, 2n) fp32: [hi | lo]
 ) -> jax.Array:
-    """C = A @ B in double-float; returns packed fp32 (m, 2n)."""
+    """C = A @ B in double-float; returns packed fp32 (m, 2n).
+
+    Per-row accumulation is a fully unrolled pairwise tree over the L ELL
+    slots.  Unrolled (not ``fori_loop``/``scan``) is REQUIRED for
+    correctness: XLA's while-loop compilation reassociates the EFT
+    identities through the loop carry (measured: 2e-8 error looped vs
+    2e-15 unrolled).  Tree (not sequential) keeps the unrolled dependency
+    chain at log2(L) depth, which both tightens the error bound and avoids
+    the XLA:CPU super-linear compile blowup on deep EFT chains (see module
+    docstring).  Pad slots carry col = 0, val = 0, whose dd product and
+    adds are exactly zero, so padding L to a power of two is error-free.
+    Peak intermediate is (m, L, n) fp32 x2 — fine for the fp64-parity
+    path this kernel serves; the bandwidth-bound perf path is ``pallas``.
+    """
     n = b_packed.shape[1] // 2
     m, L = cols.shape
-
-    def body(j, carry):
-        ch, cl = carry
-        c = jax.lax.dynamic_slice_in_dim(cols, j, 1, axis=1)[:, 0]
-        ah = jax.lax.dynamic_slice_in_dim(val_hi, j, 1, axis=1)
-        al = jax.lax.dynamic_slice_in_dim(val_lo, j, 1, axis=1)
-        brow = jnp.take(b_packed, c, axis=0, fill_value=0)  # (m, 2n)
-        bh, bl = brow[:, :n], brow[:, n:]
-        ph, pl = _dd_mul(ah, al, bh, bl)
-        return _dd_add(ch, cl, ph, pl)
-
-    ch = jnp.zeros((m, n), dtype=jnp.float32)
-    cl = jnp.zeros((m, n), dtype=jnp.float32)
-    # unroll=True is REQUIRED for correctness, not speed: XLA's while-loop
-    # compilation reassociates the EFT identities through the loop carry
-    # (measured: 2e-8 error looped vs 2e-15 unrolled); a fully unrolled body
-    # preserves IEEE semantics per op.
-    ch, cl = jax.lax.fori_loop(0, L, body, (ch, cl), unroll=True)
-    return jnp.concatenate([ch, cl], axis=1)
+    brow = jnp.take(b_packed, cols, axis=0, fill_value=0)   # (m, L, 2n)
+    ph, pl = _dd_mul(
+        val_hi[:, :, None], val_lo[:, :, None], brow[..., :n], brow[..., n:]
+    )
+    pad = (1 << max(L - 1, 0).bit_length()) - L
+    if pad:
+        ph = jnp.pad(ph, ((0, 0), (0, pad), (0, 0)))
+        pl = jnp.pad(pl, ((0, 0), (0, pad), (0, 0)))
+    while ph.shape[1] > 1:
+        h = ph.shape[1] // 2
+        ph, pl = _dd_add(ph[:, :h], pl[:, :h], ph[:, h:], pl[:, h:])
+    return jnp.concatenate([ph[:, 0], pl[:, 0]], axis=1)
 
 
 def pack_coo_dd(

@@ -107,3 +107,52 @@ def test_crp_pallas_kernel_nonmultiple_tm(devices8):
     assert eng.max_m % 256 != 0
     b = np.asarray(fill_b(0, a.ncol, 0, n))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_crp_rb_p2p_modes_agree(devices8):
+    """rb_p2p=0 (padded all_to_all) and rb_p2p=1 (ppermute ring) produce
+    identical results (RP_SPMM_P2P analog honored by the v1 engine)."""
+    a = banded_random_csr(400, nnz_per_row=30, bandwidth=40, seed=48)
+    n = 8
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    ref = a.spmm_ref(b)
+    for p2p in (0, 1):
+        eng = build(a, n, 8, devices8, config=SpmmConfig(rb_p2p=p2p))
+        assert rel_fro_err(ref, eng.exec(b)) <= 1e-12
+
+
+def test_crp_overlap_schedule(devices8):
+    """overlap=1: ring exchange fused with per-shift partial SpMM."""
+    a = banded_random_csr(400, nnz_per_row=30, bandwidth=40, seed=49)
+    n = 8
+    eng = build(a, n, 8, devices8, config=SpmmConfig(overlap=1))
+    assert eng.overlap
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_crp_dd_kernel(devices8):
+    """kernel='dd': fp64-class result from fp32 hi/lo halves end-to-end
+    through both redistributions."""
+    a = banded_random_csr(300, nnz_per_row=20, bandwidth=30, seed=50)
+    n = 8
+    eng = build(a, n, 4, devices8, config=SpmmConfig(kernel="dd"))
+    assert eng.is_dd and eng.kernel_kind == "dd"
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_crp_staged_phase_accounting(devices8):
+    """exec() fences exchange and SpMM separately — the a2a_B phase must
+    time the actual exchange (ADVICE r1: it used to fence a reshape)."""
+    a = banded_random_csr(400, nnz_per_row=30, bandwidth=40, seed=51)
+    n = 8
+    eng = build(a, n, 8, devices8)
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    eng.exec(b)
+    if eng.pm > 1:
+        assert len(eng.timer.samples["a2a_B"]) == 1
+        assert len(eng.timer.samples["spmm"]) == 1
+    stat = eng.print_stat()
+    assert "Replicate B with alltoallv" in stat
+    assert "SpMM w/o Redist" in stat
