@@ -7,7 +7,8 @@ Usage: crp-bench <mtx-file|synth:spec> <num-of-B-col> <num-of-tests>
 
 Mirrors the reference CLI (``README.md:33-40``): plan -> distribute ->
 replicate A -> timed exec loop -> stats -> optional ``||C_ref - C||_F``
-check.  <part-method>: 0 native 1D partition, 1 RCM-reorder first.
+check.  <part-method>: 0 native 1D partition, 1 METIS 1D partition
+(``test_para2d_spmm.c:50-57``), 2 RCM-reorder first.
 """
 
 from __future__ import annotations
@@ -50,13 +51,15 @@ def main(argv=None) -> int:
         config.kernel = opt["kernel"]
 
     a = load_matrix(pos[0], need_symm=method != 0)
-    if method != 0:
+    if method == 2:
         from ..sparse.reorder import rcm_reorder
 
         a, _ = rcm_reorder(a)
 
     st = time.perf_counter()
-    plan = plan_from_csr(a, glb_n, nproc)
+    # method=1: plan_from_csr runs METIS_row_partition, which permutes `a`
+    # in place exactly like the reference driver (test_para2d_spmm.c:50-57)
+    plan = plan_from_csr(a, glb_n, nproc, method="metis" if method == 1 else "nnz")
     print(f"Calculate 2D partitioning time = {time.perf_counter()-st:.2f} s")
     print(f"2D process grid: pm, pn = {plan.pm}, {plan.pn}")
 

@@ -2,8 +2,11 @@
 
 Usage: crp-plan <mtx-file|synth:spec> <num-of-B-col> <num-of-devices> <part-method>
   <part-method>: 0 native nnz-balanced 1D partition,
-                 1 RCM-reorder first (symmetric matrix only; the reference's
-                   METIS option maps to reorder-then-partition here)
+                 1 METIS 1D partition (symmetric matrix only; reference
+                   ``test_spmm_2dpg.c:30-37`` — libmetis/pymetis/native
+                   greedy-growing backend chain),
+                 2 RCM-reorder first, then nnz-balanced (the documented
+                   symrcm alternative, ``SC23_AD/readme.md:95-102``)
 
 Prints the chosen grid, comm cost, and all four boundary arrays exactly like
 ``examples/test_spmm_2dpg.c:53-79``.
@@ -42,7 +45,10 @@ def main(argv=None) -> int:
             "Usage: crp-plan <mtx-file|synth:spec> <num-of-B-col> "
             "<num-of-devices> <part-method>"
         )
-        print("<part-method>: 0 native 1D partition, 1 RCM reorder first")
+        print(
+            "<part-method>: 0 native 1D partition, 1 METIS 1D partition, "
+            "2 RCM reorder first"
+        )
         return 255
     n, nproc, method = int(argv[1]), int(argv[2]), int(argv[3])
 
@@ -52,11 +58,16 @@ def main(argv=None) -> int:
     a = load_matrix(argv[0], need_symm=method != 0)
     print("=" * 60)
     st = time.perf_counter()
-    if method != 0:
-        from ..sparse.reorder import rcm_reorder
+    if method == 1:
+        from ..sparse.reorder import metis_row_partition
 
-        a, _ = rcm_reorder(a)
-    rb = csr_row_partition(a.rowptr, nproc)
+        a, _, rb = metis_row_partition(a, nproc)
+    else:
+        if method == 2:
+            from ..sparse.reorder import rcm_reorder
+
+            a, _ = rcm_reorder(a)
+        rb = csr_row_partition(a.rowptr, nproc)
     t1 = time.perf_counter() - st
     print(f"Calculate 1D row partitioning time = {t1:.2f} s")
     st = time.perf_counter()

@@ -75,6 +75,10 @@ def _load():
     lib.crp_mtx_read.argtypes = [
         ctypes.c_char_p, i64, ctypes.c_int, ctypes.c_int, p_i64, p_i64, p_f64,
     ]
+    lib.crp_ggp_partition.restype = ctypes.c_int
+    lib.crp_ggp_partition.argtypes = [
+        i64, p_i64, p_i32, i64, ctypes.c_double, p_i32,
+    ]
     _lib = lib
     AVAILABLE = True
     return _lib
@@ -134,6 +138,23 @@ def pack_window_flat_f32(nrow, rowptr, colidx, val, TM, TK, max_window, G, W):
     if w0 < 0:
         return None
     return ws, panels, int(w0)
+
+
+def ggp_partition(rowptr, colidx, nparts, imbalance=1.05):
+    """Native greedy graph-growing K-way partition; returns the (nrow,)
+    int32 part vector or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    nrow = len(rowptr) - 1
+    part = np.zeros(max(nrow, 1), dtype=np.int32)
+    lib.crp_ggp_partition(
+        int(nrow),
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(colidx, dtype=np.int32),
+        int(nparts), float(imbalance), part,
+    )
+    return part[:nrow]
 
 
 def mtx_read(path):

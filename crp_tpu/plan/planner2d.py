@@ -232,15 +232,24 @@ def plan_from_csr(
     """End-to-end planning from a CSRMatrix: 1D partition then 2D grid search.
 
     ``method``: "nnz" (native nnz-balanced 1D partition) or "metis"
-    (graph-partitioned; reference ``examples/metis_mat_part.c``, requires the
-    matrix to already be permuted — see ``crp_tpu.sparse.reorder``).
+    (graph-partitioned, square matrices only).  "metis" mirrors the
+    reference driver flow (``examples/test_spmm_2dpg.c:30-37``):
+    ``METIS_row_partition`` symmetrically permutes the matrix **in place**
+    (the C version rewrites rowptr/colidx/val and frees the perm) and its
+    per-part displacements seed the 2D grid search; ``a`` is updated to the
+    permuted matrix, so the returned plan matches the caller's ``a``.
+    Backend chain: libmetis (OBJTYPE_VOL) -> pymetis -> native greedy graph
+    growing — see ``sparse.reorder.metis_partition_rows``.
     """
-    if method != "nnz":
-        raise NotImplementedError(
-            "1D partition method %r; reorder the matrix first (sparse.reorder) "
-            "and use method='nnz'" % method
-        )
-    rb_displs0 = csr_row_partition(a.rowptr, nproc)
+    if method == "metis":
+        from ..sparse.reorder import metis_row_partition
+
+        out, _perm, rb_displs0 = metis_row_partition(a, nproc)
+        a.rowptr, a.colidx, a.val = out.rowptr, out.colidx, out.val
+    elif method == "nnz":
+        rb_displs0 = csr_row_partition(a.rowptr, nproc)
+    else:
+        raise ValueError(f"unknown 1D partition method {method!r}")
     return calc_spmm_part2d_from_1d(
         nproc, a.nrow, n, a.ncol, rb_displs0, a.rowptr, a.colidx, rA=rA,
         dbg_print=dbg_print,

@@ -57,45 +57,128 @@ def rcm_reorder(a: CSRMatrix) -> tuple[CSRMatrix, np.ndarray]:
     return out, perm
 
 
+def _ggp_partition_py(
+    rowptr: np.ndarray, colidx: np.ndarray, nparts: int, imbalance: float
+) -> np.ndarray:
+    """Pure-python twin of ``native.ggp_partition`` (greedy graph growing):
+    grow parts from min-degree seeds, absorbing the frontier vertex with the
+    most neighbors already inside the part, under the imbalance cap."""
+    import heapq
+
+    nrow = len(rowptr) - 1
+    if nparts <= 1 or nrow == 0:
+        return np.zeros(nrow, dtype=np.int64)
+    part = np.full(nrow, -1, dtype=np.int64)
+    by_deg = np.argsort(np.diff(rowptr), kind="stable")
+    cursor = 0
+    in_cur = np.zeros(nrow, dtype=np.int64)
+    stamp = np.full(nrow, -1, dtype=np.int64)
+    remaining = nrow
+    cap = int(imbalance * nrow / nparts) + 1
+    for p in range(nparts):
+        target = -(-remaining // (nparts - p))
+        target = remaining if p == nparts - 1 else min(target, cap)
+        heap: list = []  # (-gain, v), stale entries skipped on pop
+        size = 0
+        while size < target and remaining > 0:
+            v = -1
+            while heap:
+                g, u = heapq.heappop(heap)
+                if part[u] != -1:
+                    continue
+                cur = in_cur[u] if stamp[u] == p else 0
+                if -g != cur:
+                    heapq.heappush(heap, (-cur, u))
+                    continue
+                v = u
+                break
+            if v == -1:
+                while cursor < nrow and part[by_deg[cursor]] != -1:
+                    cursor += 1
+                if cursor >= nrow:
+                    break
+                v = int(by_deg[cursor])
+            part[v] = p
+            size += 1
+            remaining -= 1
+            for w in colidx[rowptr[v]:rowptr[v + 1]]:
+                w = int(w)
+                if w == v or w >= nrow or part[w] != -1:
+                    continue
+                if stamp[w] != p:
+                    stamp[w] = p
+                    in_cur[w] = 0
+                in_cur[w] += 1
+                heapq.heappush(heap, (-int(in_cur[w]), w))
+    part[part == -1] = nparts - 1
+    return part
+
+
+def metis_partition_rows(
+    a: CSRMatrix, nparts: int, imbalance: float = 1.05
+) -> np.ndarray:
+    """K-way row partition behind the reference's METIS seam.
+
+    Backend chain (first available wins), logged at info level:
+
+      1. **libmetis** via ctypes (``sparse.metis``): the reference's exact
+         call — ``METIS_OBJTYPE_VOL`` + ubvec 1.05
+         (``examples/metis_mat_part.c:44-62``);
+      2. **pymetis** (edge-cut objective; ufactor honored when the build
+         exposes Options);
+      3. **native greedy graph growing** (``native/fastops.cpp``
+         ``crp_ggp_partition``, numpy twin here) — no external dependency.
+
+    Returns the (nrow,) part-id vector.
+    """
+    from . import metis as libmetis
+
+    if libmetis.available():
+        logger.info("METIS row partition: libmetis (OBJTYPE_VOL)")
+        return libmetis.part_graph_kway(a.rowptr, a.colidx, nparts, imbalance)
+    try:
+        import pymetis
+    except ImportError:
+        pymetis = None
+    if pymetis is not None:  # pragma: no cover - optional dependency
+        logger.info("METIS row partition: pymetis (edge-cut)")
+        adj = [
+            a.colidx[a.rowptr[i]:a.rowptr[i + 1]].tolist()
+            for i in range(a.nrow)
+        ]
+        kw = {}
+        if hasattr(pymetis, "Options"):
+            try:
+                opts = pymetis.Options()
+                opts.ufactor = max(int(round((imbalance - 1.0) * 1000)), 1)
+                kw["options"] = opts
+            except (AttributeError, TypeError):
+                pass
+        _, parts = pymetis.part_graph(nparts, adjacency=adj, **kw)
+        return np.asarray(parts, dtype=np.int64)
+    from .. import native
+
+    logger.info("METIS row partition: native greedy graph growing")
+    parts = native.ggp_partition(a.rowptr, a.colidx, nparts, imbalance)
+    if parts is None:
+        parts = _ggp_partition_py(a.rowptr, a.colidx, nparts, imbalance)
+    return np.asarray(parts, dtype=np.int64)
+
+
 def metis_row_partition(
     a: CSRMatrix, nparts: int, imbalance: float = 1.05
 ) -> tuple[CSRMatrix, np.ndarray, np.ndarray]:
     """METIS k-way partition + symmetric permutation grouping parts.
 
     Mirrors ``METIS_row_partition`` (``examples/metis_mat_part.c:31-112``):
-    partition the adjacency graph, sort vertices by part id, permute
-    symmetrically, and return the per-part row displacements to seed the
-    planner.  The reference sets ``METIS_OBJTYPE_VOL`` and a 5% imbalance
-    (``metis_mat_part.c:47-57``); pymetis' ``part_graph`` exposes neither,
-    so partitions here optimize edge-cut with METIS' default balance — the
-    ``imbalance`` argument is honored only if the installed pymetis
-    supports Options (newer releases), and ignored otherwise.
-
-    Requires the optional ``pymetis`` package; environments without it
-    should reorder with :func:`rcm_reorder` instead (the documented
-    alternative, ``SC23_AD/readme.md:95-102``).
+    partition the adjacency graph (:func:`metis_partition_rows` backend
+    chain), sort vertices by part id, permute symmetrically, and return the
+    per-part row displacements to seed the planner.  Returns
+    ``(permuted matrix, perm, displs)`` with ``perm[new] = old``.
     """
-    try:
-        import pymetis
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise ImportError(
-            "pymetis is not installed; use rcm_reorder() instead"
-        ) from e
     if a.nrow != a.ncol:
         raise ValueError("METIS partitioning requires a symmetric matrix")
-    adj = [
-        a.colidx[a.rowptr[i]:a.rowptr[i + 1]].tolist() for i in range(a.nrow)
-    ]
-    kw = {}
-    if hasattr(pymetis, "Options"):  # pragma: no cover - optional dependency
-        try:
-            opts = pymetis.Options()
-            opts.ufactor = max(int(round((imbalance - 1.0) * 1000)), 1)
-            kw["options"] = opts
-        except (AttributeError, TypeError):
-            pass
-    _, parts = pymetis.part_graph(nparts, adjacency=adj, **kw)
-    parts = np.asarray(parts)
+    parts = metis_partition_rows(a, nparts, imbalance)
     perm = np.argsort(parts, kind="stable").astype(np.int64)
     out = permute_symmetric(a, perm)
     counts = np.bincount(parts, minlength=nparts)

@@ -144,3 +144,85 @@ def test_suite_cli_crp_engine(capsys):
     (rec,) = [json.loads(l) for l in lines]
     assert rec["rel_fro_err"] <= 1e-5
     assert rec["comm"]["a2av_B_necessary"] <= rec["comm"]["a2av_B"]
+
+
+def _cut_edges(a, part):
+    rows = np.repeat(np.arange(a.nrow), np.diff(a.rowptr))
+    return int((part[rows] != part[a.colidx]).sum())
+
+
+def test_ggp_partition_native_and_python_quality():
+    """The greedy graph-growing fallback behind the METIS seam: valid,
+    balanced within the 5% ubvec analog, and far below a random partition's
+    cut on a banded graph (native C++ and the numpy twin)."""
+    from crp_tpu import native
+    from crp_tpu.sparse.reorder import _ggp_partition_py
+
+    a = symmetrize(banded_random_csr(800, nnz_per_row=6, bandwidth=12, seed=60))
+    nparts = 8
+    cap = int(1.05 * a.nrow / nparts) + 1
+    rng = np.random.default_rng(2)
+    rand_cut = _cut_edges(a, rng.integers(0, nparts, a.nrow))
+    parts = [_ggp_partition_py(a.rowptr, a.colidx, nparts, 1.05)]
+    native_part = native.ggp_partition(a.rowptr, a.colidx, nparts, 1.05)
+    if native_part is not None:
+        parts.append(native_part.astype(np.int64))
+    assert native.AVAILABLE  # this environment has g++
+    for part in parts:
+        assert part.shape == (a.nrow,)
+        counts = np.bincount(part, minlength=nparts)
+        assert counts.min() > 0 and counts.max() <= cap
+        assert _cut_edges(a, part) < rand_cut / 4
+
+
+def test_metis_row_partition_chain():
+    """metis_row_partition end-to-end on the best available backend (native
+    greedy growing here): contiguous displs, a valid symmetric permutation,
+    and SpMM equivalence through the permutation."""
+    from crp_tpu.sparse.reorder import metis_row_partition
+
+    a = symmetrize(powerlaw_random_csr(300, avg_degree=5, seed=61))
+    ap, perm, displs = metis_row_partition(a, 4)
+    assert displs[0] == 0 and displs[-1] == a.nrow
+    assert np.all(np.diff(displs) >= 0)
+    assert sorted(perm.tolist()) == list(range(a.nrow))
+    b = np.asarray(fill_b(0, a.ncol, 0, 8))
+    np.testing.assert_allclose(
+        ap.spmm_ref(b[perm]), a.spmm_ref(b)[perm], rtol=1e-12
+    )
+
+
+def test_plan_from_csr_metis(devices8):
+    """plan_from_csr(method='metis') no longer raises: it permutes the
+    matrix in place (reference driver flow, test_spmm_2dpg.c:30-37) and the
+    plan drives an engine to a correct result on the permuted matrix."""
+    from crp_tpu.engine.para2d import Para2dSpmm
+    from crp_tpu.plan.planner2d import plan_from_csr
+    from crp_tpu.shard.layout import make_mesh_2d
+
+    a = symmetrize(banded_random_csr(400, nnz_per_row=5, bandwidth=30, seed=62))
+    plan = plan_from_csr(a, 8, 8, method="metis")
+    assert plan.A0_rowptr[-1] == a.nrow
+    mesh = make_mesh_2d(plan.pm, plan.pn, devices=devices8)
+    eng = Para2dSpmm(a, plan, mesh=mesh)
+    b = np.asarray(fill_b(0, a.ncol, 0, 8))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_plan_cli_metis(capsys):
+    from crp_tpu.cli.plan_cli import main
+
+    rc = main(["synth:banded:500:6:30", "64", "8", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Calculated 2D grid" in out
+
+
+def test_bench_cli_metis_method(devices8, capsys):
+    from crp_tpu.cli.bench_cli import main
+
+    rc = main(["synth:banded:400:5:20", "8", "1", "1", "1",
+               "--engine=para2d", "--dtype=float64", "--devices=8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    err = float(out.strip().splitlines()[-1].split("=")[-1])
+    assert err <= 1e-12
