@@ -14,10 +14,11 @@ than the reference's published number).
 The JSON line also carries a roofline audit: dense-window FLOPs (the
 windowed kernel executes dense-panel MXU work, not nominal sparse FLOPs),
 A/B/C HBM bytes per exec, achieved TFLOP/s and GB/s, and utilization
-against this chip's MEASURED peaks (bf16 MXU ~136 TF/s, HBM stream
-~371 GB/s through the relay — override with CRP_BENCH_MXU_PEAK /
-CRP_BENCH_HBM_PEAK, in TF/s / GB/s).  The reference publishes no
-FLOP/s (SURVEY.md section 6); this answers "how far from speed of light".
+against the v5e chip specs (bf16 MXU 197 TF/s, HBM 819 GB/s — override
+with CRP_BENCH_MXU_PEAK / CRP_BENCH_HBM_PEAK, in TF/s / GB/s; an r2 run
+sustained 623 GB/s, disproving the 371 GB/s relay-stream measurement r1
+used).  The reference publishes no FLOP/s (SURVEY.md section 6); this
+answers "how far from speed of light".
 """
 
 import json
@@ -106,8 +107,8 @@ def main():
         b_bytes = rl["b_rows_read"] * n_pad * rl["b_itemsize"]
         c_bytes = rl["c_rows"] * n_pad * 4  # fp32 accumulator writeback
         hbm_bytes = a_bytes + b_bytes + c_bytes
-        mxu_peak = float(os.environ.get("CRP_BENCH_MXU_PEAK", 136)) * 1e12
-        hbm_peak = float(os.environ.get("CRP_BENCH_HBM_PEAK", 371)) * 1e9
+        mxu_peak = float(os.environ.get("CRP_BENCH_MXU_PEAK", 197)) * 1e12
+        hbm_peak = float(os.environ.get("CRP_BENCH_HBM_PEAK", 819)) * 1e9
         record.update(
             dense_gflops_per_exec=round(dense_flops / 1e9, 1),
             hbm_gb_per_exec=round(hbm_bytes / 1e9, 3),

@@ -9,7 +9,11 @@ comm-volume audit (planned / physical / minimal).
 
 Usage:
   crp-suite scaling <mtx|synth:spec> <n> [--procs=1,2,4,8] [--ntest=3] ...
-  crp-suite vary_n  <mtx|synth:spec> <p> [--ns=16,64,256,1024] ...
+  crp-suite vary_n  <mtx|synth:spec> <p> [--ns=16,64,256,1024]
+                    [--plan-procs=P]  # also record the 2D planner's pm x pn
+                                      # choice per n for a P-device mesh (the
+                                      # SC23 Fig. 7 shape: pn grows with n,
+                                      # ``figures/plot_vary_n2.m:4-7``)
   crp-suite modes   <mtx|synth:spec> <n> <p>        # a2a vs ring vs overlap
   crp-suite kernels <mtx|synth:spec> <n> <p>        # segsum/ell/pallas/dd
 
@@ -228,6 +232,7 @@ def main(argv=None) -> int:
         raise SystemExit(f"unknown sweep {sweep!r}")
 
     out = open(opt["out"], "a") if "out" in opt else None
+    plan_procs = int(opt.get("plan-procs", 0))
     for args in runs:
         try:
             rec = run_one(*args, ntest=ntest, check=check, inner=inner)
@@ -235,6 +240,16 @@ def main(argv=None) -> int:
             rec = dict(
                 sweep=sweep, engine=args[3], n=args[1], p=args[2],
                 kernel=args[4].kernel, error=f"{type(e).__name__}: {e}",
+            )
+        if plan_procs:
+            # what grid WOULD the 2D planner pick for this n on a
+            # plan_procs-device mesh (independent of the exec config)
+            from ..plan.planner2d import plan_from_csr
+
+            pl = plan_from_csr(a, args[1], plan_procs)
+            rec["planner"] = dict(
+                nproc=plan_procs, pm=pl.pm, pn=pl.pn,
+                comm_cost=int(pl.comm_cost),
             )
         rec["sweep"] = sweep
         line = json.dumps(rec)

@@ -208,13 +208,23 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
     if len(packs) == 1 and packs[0] is not None:
         from .spmm_pallas import plan_supergroups
 
+        # off-TPU the pallas interpreter's per-step cost scales with the
+        # scratch size — keep windows small there (correctness-only path)
         sg_plan = plan_supergroups(
-            ws[0, : packs[0].G], W, 256, np.dtype(dtype).itemsize
+            ws[0, : packs[0].G], W, 256, np.dtype(dtype).itemsize,
+            vmem_budget=(4 << 20) if interpret else None,
         )
     if sg_plan is not None:
-        from .spmm_pallas import spmm_window_pallas_sg
+        from .spmm_pallas import sg_vmem_limit, spmm_window_pallas_sg
 
         SG, Wsg, bases = sg_plan
+        # under super-grouping B slices come from the resident super-window,
+        # so the whole window as ONE k-chunk costs only A-pipeline VMEM and
+        # removes the per-chunk accumulate steps: measured 0.0138 -> 0.0129 s
+        # at the headline shape (bench_results/r2_tpu_sg_wc.jsonl)
+        Wc_sg = (
+            W if sg_vmem_limit(Wsg, W, TM, 256, 4) <= (112 << 20) else None
+        )
         sgc = -(-G // SG)
         G_sg = sgc * SG
         if len(bases) < sgc:  # shared G exceeds the shard's own group count
@@ -244,7 +254,7 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
 
                 c = spmm_window_pallas_sg_presplit(
                     ws_i, bases_i, ah_i, al_i, rB, SG, Wsg, W, TM,
-                    interpret=interpret,
+                    Wc=Wc_sg, interpret=interpret,
                 )
                 # no [:max_m] slice (full-output copy); engines trim by row
                 # displacements at unshard time
@@ -265,7 +275,7 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
                 ws=ws_i, tiles=tiles_i,
             )
             c = spmm_window_pallas_sg(
-                packed, rB, SG, Wsg, bases_i,
+                packed, rB, SG, Wsg, bases_i, Wc=Wc_sg,
                 precision=precision, interpret=interpret,
             )
             # no [:max_m] slice: it copies the whole output once per exec;

@@ -451,9 +451,14 @@ def _window_kernel_sg_presplit(
 
 def spmm_window_pallas_sg_presplit(
     ws, bases, ah, al, b, SG: int, Wsg: int, W: int, TM: int,
-    TN: int | None = None, interpret: bool = False,
+    TN: int | None = None, Wc: int | None = None, interpret: bool = False,
 ):
-    """Super-grouped x3 SpMM with pack-time bf16-split A panels."""
+    """Super-grouped x3 SpMM with pack-time bf16-split A panels.
+
+    ``Wc`` overrides the k-loop chunk rows (must divide W, TK-aligned) —
+    under super-grouping B slices come from the resident super-window, so
+    larger chunks only grow the A pipeline, not the B scratch.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -466,7 +471,10 @@ def spmm_window_pallas_sg_presplit(
         b = jnp.pad(b, ((0, 0), (0, TN - n_orig % TN)))
     n = b.shape[1]
     G = ah.shape[0]
-    _, Wc, C = choose_chunks(W)
+    if Wc is None:
+        _, Wc, _ = choose_chunks(W)
+    C = W // Wc
+    assert Wc * C == W and Wc % TK == 0, (W, Wc, C)
     sgc = len(bases)
     assert G == sgc * SG, (G, sgc, SG)
 
@@ -493,17 +501,45 @@ def spmm_window_pallas_sg_presplit(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G * TM, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=sg_vmem_limit(Wsg, Wc, TM, TN, b.dtype.itemsize)
+        ),
         interpret=interpret,
     )
     out = fn(jnp.asarray(ws), jnp.asarray(bases), ah, al, b)
     return out[:, :n_orig] if n != n_orig else out
 
 
+def default_sg_budget() -> int:
+    """Byte budget for the double-buffered B super-window slots.
+
+    The v5e core has 128 MB of VMEM; Mosaic's default scoped limit is only
+    ~16 MB, so the super-grouped kernels raise it via
+    ``CompilerParams(vmem_limit_bytes=...)`` sized to what they allocate.
+    48 MB of window slots leaves ample room for the A chunk pipeline, the
+    resident C block, and Mosaic's accounting overhead.  Override with
+    ``CRP_TPU_SG_BUDGET`` (bytes) to tune or to fall back to small windows.
+    """
+    import os
+
+    return int(os.environ.get("CRP_TPU_SG_BUDGET", 48 << 20))
+
+
+def sg_vmem_limit(Wsg: int, Wc: int, TM: int, TN: int, b_itemsize: int) -> int:
+    """``vmem_limit_bytes`` for the sg kernels: window slots + double-
+    buffered A chunk pipeline (hi/lo pair at worst) + C block, with 50%
+    headroom for Mosaic's scoped accounting, clamped to [16, 120] MB."""
+    need = (
+        2 * Wsg * TN * b_itemsize      # window scratch slots
+        + 4 * TM * Wc * 4              # A pipeline (2 bufs x hi/lo or fp32)
+        + TM * TN * 4                  # resident output block
+    )
+    return int(min(max(int(need * 1.5), 16 << 20), 120 << 20))
+
+
 def plan_supergroups(
     ws: np.ndarray, W: int, TN: int, itemsize: int,
-    # window slots only; Mosaic's scoped accounting adds the A pipeline,
-    # the output block, and ~35% overhead on top (measured), 16 MB total
-    vmem_budget: int = 7 << 20,
+    vmem_budget: int | None = None,
 ) -> tuple[int, int, np.ndarray] | None:
     """Pick the super-group size for window reuse.
 
@@ -515,10 +551,12 @@ def plan_supergroups(
     ws = np.asarray(ws, dtype=np.int64)
     if ws.size < 2 or np.any(np.diff(ws) < 0):
         return None
+    if vmem_budget is None:
+        vmem_budget = default_sg_budget()
     cap = vmem_budget // (2 * TN * itemsize)  # rows per super-window slot
-    best = None
-    for SG in range(2, 33):
-        G = ws.size
+    G = ws.size
+
+    def plan_for(SG):
         sgc = -(-G // SG)
         bases = ws[::SG][:sgc]
         spans = np.empty(sgc, dtype=np.int64)
@@ -526,16 +564,27 @@ def plan_supergroups(
             hi = min((s + 1) * SG, G) - 1
             spans[s] = ws[hi] + W - bases[s]
         Wsg = int(-(-int(spans.max()) // TK) * TK)
-        if Wsg > cap:
+        return SG, Wsg, bases.astype(np.int32), sgc
+
+    best = None
+    for SG in range(2, 129):
+        got = plan_for(SG)
+        if got[1] > cap:
             break
-        best = (SG, Wsg, bases.astype(np.int32))
-    return best
+        best = got
+    if best is None:
+        return None
+    # same window count at the smallest SG -> no pad groups (dispatch pads
+    # G up to sgc * SG with zero panels, which is pure wasted MXU work)
+    # and a slightly tighter Wsg
+    SG, Wsg, bases, sgc = plan_for(-(-G // best[3]))
+    return SG, Wsg, bases
 
 
 def spmm_window_pallas_sg(
     packed: WindowDense, b, SG: int, Wsg: int, bases: np.ndarray,
-    TN: int | None = None, compute_dtype=None, precision=None,
-    interpret: bool = False,
+    TN: int | None = None, Wc: int | None = None, compute_dtype=None,
+    precision=None, interpret: bool = False,
 ):
     """Super-grouped windowed SpMM: one B super-window DMA feeds SG groups.
 
@@ -560,7 +609,10 @@ def spmm_window_pallas_sg(
         b = jnp.pad(b, ((0, 0), (0, TN - n_orig % TN)))
     n = b.shape[1]
     W, TM, G = packed.W, packed.TM, packed.G
-    _, Wc, C = choose_chunks(W)
+    if Wc is None:
+        _, Wc, _ = choose_chunks(W)
+    C = W // Wc
+    assert Wc * C == W and Wc % TK == 0, (W, Wc, C)
     sgc = len(bases)
     # callers pad G to a whole number of super-groups at pack time (zero
     # panels, window starts clamped) — arrays may be traced here
@@ -599,6 +651,9 @@ def spmm_window_pallas_sg(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G * TM, n), acc_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=sg_vmem_limit(Wsg, Wc, TM, TN, b.dtype.itemsize)
+        ),
         interpret=interpret,
     )
     out = fn(jnp.asarray(ws), jnp.asarray(bases), jnp.asarray(tiles), b)
