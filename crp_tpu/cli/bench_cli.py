@@ -24,7 +24,9 @@ from .plan_cli import load_matrix
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     pos = [a for a in argv if not a.startswith("--")]
-    opt = dict(a[2:].split("=", 1) for a in argv if a.startswith("--"))
+    opt = dict(
+        (a[2:].split("=", 1) + ["1"])[:2] for a in argv if a.startswith("--")
+    )
     if len(pos) < 4:
         print(
             "Usage: crp-bench <mtx-file|synth:spec> <num-of-B-col> "
@@ -36,6 +38,13 @@ def main(argv=None) -> int:
     chk_res = int(pos[4]) if len(pos) > 4 else 0
     engine_kind = opt.get("engine", "para2d")
     dtype = np.dtype(opt.get("dtype", "float32"))
+    if "distributed" in opt:
+        # multi-host pod run: the same command runs on every host
+        # (scripts/pod_suite.sh), jax.distributed derives the rank from the
+        # launcher env — the reference's srun/MPI init (SC23_AD/scripts)
+        from ..shard.layout import init_distributed
+
+        init_distributed()
 
     import jax
 

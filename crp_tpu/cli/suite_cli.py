@@ -20,6 +20,9 @@ Usage:
 Common flags: --engine=para2d|rowpara  --kernel=...  --dtype=...
   --ntest=N  --out=FILE.jsonl  --cpu-mesh=N (re-exec on an N-device
   virtual CPU mesh — the reference's "mpirun -np P on one box")
+  --distributed (call jax.distributed.initialize first: run the SAME
+  command on every pod-slice host, e.g. via scripts/pod_suite.sh — the
+  ``srun`` analog of the reference's SLURM scripts)
 
 Matrices: a Matrix Market path, or synth:banded:<nrow>:<nnz_per_row>:<bw>
 or synth:plaw:<nrow>:<deg> (network-free benchmarking).
@@ -180,12 +183,18 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     pos = [x for x in argv if not x.startswith("--")]
-    opt = dict(x[2:].split("=", 1) for x in argv if x.startswith("--"))
+    opt = dict(
+        (x[2:].split("=", 1) + ["1"])[:2] for x in argv if x.startswith("--")
+    )
     if len(pos) < 2:
         print(__doc__)
         return 255
     if "cpu-mesh" in opt and os.environ.get("CRP_SUITE_MESH_READY") != "1":
         _reexec_cpu_mesh(int(opt["cpu-mesh"]))
+    if "distributed" in opt:
+        from ..shard.layout import init_distributed
+
+        init_distributed()
 
     from ..config import SpmmConfig
     from .plan_cli import load_matrix
