@@ -239,6 +239,36 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
             ws = np.pad(ws, ((0, 0), (0, G_sg - G)), mode="edge")
         min_b_rows = max(min_b_rows, int(bases.max()) + Wsg)
 
+        if (
+            mxu_precision == "default"
+            and np.dtype(dtype) == np.float32
+        ):
+            # 1-pass bf16 operating point: A stored as bf16 hi only (half
+            # the panel traffic), B cast to bf16 per exec, one MXU pass —
+            # measured 0.0069 s vs x3's 0.0128 at the headline shape
+            # (bench_results/r2_tpu_presplit_b.jsonl), ~2e-3 relative
+            import jax.numpy as jnp
+            import ml_dtypes
+
+            from .spmm_pallas import spmm_window_pallas_sg_bf16
+
+            ah = tiles.astype(ml_dtypes.bfloat16)
+
+            def local_fn(arrs, rB):
+                ws_i, ah_i, bases_i = arrs
+                c = spmm_window_pallas_sg_bf16(
+                    ws_i, bases_i, ah_i, rB.astype(jnp.bfloat16),
+                    SG, Wsg, W, TM, Wc=Wc_sg, interpret=interpret,
+                )
+                return c.astype(rB.dtype)
+
+            local_fn.min_b_rows = min_b_rows
+            local_fn.roofline = dict(
+                G=G_sg, TM=TM, W=W, a_bytes=ah.nbytes,
+                b_rows_read=sgc * Wsg, c_rows=G_sg * TM, b_itemsize=2,
+            )
+            return (ws, ah, bases[None]), local_fn
+
         if precision == "x3":
             # pre-split A into bf16 hi/lo (same bytes as fp32): the per-step
             # VPU conversion of the A chunk disappears from the kernel

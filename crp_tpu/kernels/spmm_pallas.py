@@ -449,6 +449,272 @@ def _window_kernel_sg_presplit(
         o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
 
 
+def _window_kernel_sg_presplit_ab(
+    ws_ref, base_ref, ah_ref, al_ref, bh_hbm, bl_hbm, o_ref,
+    win_h, win_l, sem_h, sem_l,
+    *, Wsg, Wc, TN, NJ, C, SG, passes,
+):
+    """x3 variant with BOTH operands pre-split to bf16 hi/lo in HBM.
+
+    Under super-grouping the in-kernel B split re-runs per row group — SG
+    redundant VPU passes over the same window rows; with B stored as bf16
+    halves the windows DMA directly into bf16 scratch (same total scratch
+    bytes as one fp32 window) and the kernel is pure MXU + accumulate.
+    (``passes`` is fixed at 3 by the public wrapper; the single-pass bf16
+    operating point has its own kernel that never touches the lo halves.)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sg = pl.program_id(0)
+    jn = pl.program_id(1)
+    u = pl.program_id(2)
+    lin = sg * NJ + jn
+    total_lin = pl.num_programs(0) * NJ
+
+    def sw_dma(l, slot, hbm, win, sem):
+        ss = l // NJ
+        jj = l - ss * NJ
+        return pltpu.make_async_copy(
+            hbm.at[
+                pl.ds(pl.multiple_of(base_ref[ss], TK), Wsg),
+                pl.ds(pl.multiple_of(jj * TN, TN), TN),
+            ],
+            win.at[slot],
+            sem.at[slot],
+        )
+
+    def both(l, slot):
+        dmas = [sw_dma(l, slot, bh_hbm, win_h, sem_h)]
+        if passes == 3:
+            dmas.append(sw_dma(l, slot, bl_hbm, win_l, sem_l))
+        return dmas
+
+    @pl.when((sg == 0) & (jn == 0) & (u == 0))
+    def _():
+        for d in both(0, 0):
+            d.start()
+
+    @pl.when(u == 0)
+    def _():
+        for d in both(lin, lin % 2):
+            d.wait()
+
+        @pl.when(lin + 1 < total_lin)
+        def _():
+            for d in both(lin + 1, (lin + 1) % 2):
+                d.start()
+
+    slot = lin % 2
+    g = sg * SG + u // C
+    t = u - (u // C) * C
+    og = ws_ref[g] - base_ref[sg]
+    sl = pl.ds(pl.multiple_of(og + t * Wc, TK), Wc)
+
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bh = win_h[slot, sl, :]
+    partial = dot(ah_ref[0], bh)
+    if passes == 3:
+        bl = win_l[slot, sl, :]
+        partial = partial + (dot(ah_ref[0], bl) + dot(al_ref[0], bh))
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = partial.astype(o_ref.dtype)
+
+    @pl.when(t > 0)
+    def _():
+        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+
+
+def _window_kernel_sg_bf16(
+    ws_ref, base_ref, ah_ref, bh_hbm, o_ref, win_h, sem_h,
+    *, Wsg, Wc, TN, NJ, C, SG,
+):
+    """Single-pass bf16 operating point: C = ah @ bh, no lo halves anywhere
+    (half the A traffic and a third of the MXU work of x3, ~1e-3 relative)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sg = pl.program_id(0)
+    jn = pl.program_id(1)
+    u = pl.program_id(2)
+    lin = sg * NJ + jn
+    total_lin = pl.num_programs(0) * NJ
+
+    def sw_dma(l, slot):
+        ss = l // NJ
+        jj = l - ss * NJ
+        return pltpu.make_async_copy(
+            bh_hbm.at[
+                pl.ds(pl.multiple_of(base_ref[ss], TK), Wsg),
+                pl.ds(pl.multiple_of(jj * TN, TN), TN),
+            ],
+            win_h.at[slot],
+            sem_h.at[slot],
+        )
+
+    @pl.when((sg == 0) & (jn == 0) & (u == 0))
+    def _():
+        sw_dma(0, 0).start()
+
+    @pl.when(u == 0)
+    def _():
+        sw_dma(lin, lin % 2).wait()
+
+        @pl.when(lin + 1 < total_lin)
+        def _():
+            sw_dma(lin + 1, (lin + 1) % 2).start()
+
+    slot = lin % 2
+    g = sg * SG + u // C
+    t = u - (u // C) * C
+    og = ws_ref[g] - base_ref[sg]
+    bh = win_h[slot, pl.ds(pl.multiple_of(og + t * Wc, TK), Wc), :]
+    partial = jax.lax.dot_general(
+        ah_ref[0], bh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = partial.astype(o_ref.dtype)
+
+    @pl.when(t > 0)
+    def _():
+        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+
+
+def _sg_call(kern, nins, sgc, SG, C, NJ, TM, TN, Wc, Wsg, G, n, win_dtype,
+             nwin, interpret):
+    """Shared pallas_call builder for the super-grouped kernel family."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a_spec = pl.BlockSpec(
+        (1, TM, Wc), lambda s, j, u, *_: (s * SG + u // C, 0, u % C)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ws, bases
+        grid=(sgc, NJ, SG * C),
+        in_specs=[a_spec] * (nins - nwin)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * nwin,
+        out_specs=pl.BlockSpec(
+            (TM, TN), lambda s, j, u, *_: (s * SG + u // C, j)
+        ),
+        scratch_shapes=[pltpu.VMEM((2, Wsg, TN), win_dtype)] * nwin
+        + [pltpu.SemaphoreType.DMA((2,))] * nwin,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * TM, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=sg_vmem_limit(
+                Wsg, Wc, TM, TN, nwin * np.dtype(win_dtype).itemsize
+            )
+        ),
+        interpret=interpret,
+    )
+
+
+def spmm_window_pallas_sg_presplit_ab(
+    ws, bases, ah, al, bh, bl, SG: int, Wsg: int, W: int, TM: int,
+    TN: int | None = None, Wc: int | None = None, interpret: bool = False,
+):
+    """Super-grouped x3 SpMM, A and B both pre-split to bf16 hi/lo.
+
+    ``bh``/``bl`` are (k_pad, n) bf16 with ``bh + bl ~ B`` (fp32, see
+    :func:`split_b_bf16`).  Returns fp32 (G*TM, n).
+    """
+    import jax.numpy as jnp
+
+    n_orig = bh.shape[1]
+    if TN is None:
+        TN = 256 if n_orig % 256 == 0 else 128
+    if n_orig % TN:
+        pad = ((0, 0), (0, TN - n_orig % TN))
+        bh = jnp.pad(bh, pad)
+        bl = jnp.pad(bl, pad)
+    n = bh.shape[1]
+    G = ah.shape[0]
+    if Wc is None:
+        _, Wc, _ = choose_chunks(W)
+    C = W // Wc
+    assert Wc * C == W and Wc % TK == 0, (W, Wc, C)
+    sgc = len(bases)
+    assert G == sgc * SG, (G, sgc, SG)
+
+    kern = functools.partial(
+        _window_kernel_sg_presplit_ab,
+        Wsg=Wsg, Wc=Wc, TN=TN, NJ=n // TN, C=C, SG=SG, passes=3,
+    )
+    fn = _sg_call(kern, 4, sgc, SG, C, n // TN, TM, TN, Wc, Wsg, G, n,
+                  bh.dtype, 2, interpret)
+    out = fn(jnp.asarray(ws), jnp.asarray(bases), ah, al, bh, bl)
+    return out[:, :n_orig] if n != n_orig else out
+
+
+def spmm_window_pallas_sg_bf16(
+    ws, bases, ah, bh, SG: int, Wsg: int, W: int, TM: int,
+    TN: int | None = None, Wc: int | None = None, interpret: bool = False,
+):
+    """Single-pass bf16 super-grouped SpMM (the speed-over-accuracy
+    operating point, ~1e-3 relative): only the hi halves exist, so A
+    traffic halves and the MXU does one pass."""
+    import jax.numpy as jnp
+
+    n_orig = bh.shape[1]
+    if TN is None:
+        TN = 256 if n_orig % 256 == 0 else 128
+    if n_orig % TN:
+        bh = jnp.pad(bh, ((0, 0), (0, TN - n_orig % TN)))
+    n = bh.shape[1]
+    G = ah.shape[0]
+    if Wc is None:
+        _, Wc, _ = choose_chunks(W)
+    C = W // Wc
+    assert Wc * C == W and Wc % TK == 0, (W, Wc, C)
+    sgc = len(bases)
+    assert G == sgc * SG, (G, sgc, SG)
+
+    kern = functools.partial(
+        _window_kernel_sg_bf16,
+        Wsg=Wsg, Wc=Wc, TN=TN, NJ=n // TN, C=C, SG=SG,
+    )
+    fn = _sg_call(kern, 2, sgc, SG, C, n // TN, TM, TN, Wc, Wsg, G, n,
+                  bh.dtype, 1, interpret)
+    out = fn(jnp.asarray(ws), jnp.asarray(bases), ah, bh)
+    return out[:, :n_orig] if n != n_orig else out
+
+
+def split_b_bf16(b):
+    """fp32 (k, n) -> (bh, bl) bf16 with bh + bl ~ b; XLA fuses this into
+    the exchange epilogue, replacing the kernel's per-step VPU split.
+
+    The hi part goes through ``lax.reduce_precision``, NOT a bf16
+    round-trip: on TPU, XLA folds ``b - f32(bf16(b))`` to zero (measured:
+    bl identically 0 on chip, silently degrading x3 to 1-pass accuracy),
+    while reduce_precision is contractually exempt from such folding.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    hi32 = jax.lax.reduce_precision(b, exponent_bits=8, mantissa_bits=7)
+    bh = hi32.astype(jnp.bfloat16)          # exact: hi32 is bf16-precise
+    bl = (b - hi32).astype(jnp.bfloat16)
+    return bh, bl
+
+
 def spmm_window_pallas_sg_presplit(
     ws, bases, ah, al, b, SG: int, Wsg: int, W: int, TM: int,
     TN: int | None = None, Wc: int | None = None, interpret: bool = False,

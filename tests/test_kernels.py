@@ -264,3 +264,69 @@ def test_pallas_supergroup_fp64_accumulates_fp64():
     c = np.asarray(local_fn(tuple(x[0] for x in arrays), bp))
     assert c.dtype == np.float64
     assert rel_fro_err(a.spmm_ref(b), c[: a.nrow]) <= 1e-12
+
+
+def test_pallas_supergroup_presplit_ab_interpret():
+    """A+B both pre-split to bf16 halves in HBM (pure-MXU kernel): x3
+    matches the in-kernel-split scheme's accuracy; passes=1 is the bf16
+    operating point (~1e-3)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from crp_tpu.kernels.spmm_pallas import (
+        TK, pack_window_dense, spmm_window_pallas_sg_bf16,
+        spmm_window_pallas_sg_presplit_ab, split_b_bf16,
+    )
+
+    a = banded_random_csr(3000, nnz_per_row=7, bandwidth=80, seed=92,
+                          dtype=np.float32)
+    p = pack_window_dense(a.rowptr, a.colidx, a.val, a.ncol)
+    W, TM, G = p.W, p.TM, p.G
+    ah = p.tiles.astype(ml_dtypes.bfloat16)
+    al = (p.tiles - ah.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    ws = np.asarray(p.ws, np.int64)
+    SG = next(d for d in range(4, 1, -1) if G % d == 0)
+    sgc = G // SG
+    bases = ws[::SG][:sgc]
+    spans = [int(ws[min((s + 1) * SG, G) - 1] + W - bases[s])
+             for s in range(sgc)]
+    Wsg = -(-max(spans) // TK) * TK
+    n = 48
+    b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
+    bp = np.zeros((int(bases.max()) + Wsg, n), np.float32)
+    bp[: a.ncol] = b
+    bh, bl = split_b_bf16(jnp.asarray(bp))
+    ref = a.spmm_ref(b.astype(np.float64))
+    c3 = spmm_window_pallas_sg_presplit_ab(
+        p.ws, bases.astype(np.int32), ah, al, bh, bl, SG, Wsg, W, TM,
+        Wc=W, interpret=True,
+    )
+    assert rel_fro_err(ref, np.asarray(c3[: a.nrow]).astype(np.float64)) <= 1e-5
+    c1 = spmm_window_pallas_sg_bf16(
+        p.ws, bases.astype(np.int32), ah, bh, SG, Wsg, W, TM,
+        Wc=W, interpret=True,
+    )
+    assert rel_fro_err(ref, np.asarray(c1[: a.nrow]).astype(np.float64)) <= 1e-2
+
+
+def test_pallas_supergroup_bf16_default_dispatch():
+    """mxu_precision="default" on a super-grouped fp32 shard selects the
+    1-pass bf16 kernel: bf16-class accuracy, A packed as bf16 hi only."""
+    from crp_tpu.kernels.dispatch import pack_local_kernel
+
+    a = banded_random_csr(3000, nnz_per_row=7, bandwidth=80, seed=93,
+                          dtype=np.float32)
+    arrays, local_fn = pack_local_kernel(
+        [(a.rowptr, a.colidx.astype(np.int32), a.val)], a.nrow, np.float32,
+        "pallas", mxu_precision="default",
+    )
+    assert len(arrays) == 3 and arrays[1].dtype.name == "bfloat16"
+    assert local_fn.roofline["b_itemsize"] == 2
+    n = 48
+    b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
+    bp = np.zeros((local_fn.min_b_rows, n), np.float32)
+    bp[: a.ncol] = b
+    c = np.asarray(local_fn((arrays[0][0], arrays[1][0], arrays[2][0]), bp))
+    ref = a.spmm_ref(b.astype(np.float64))
+    err = rel_fro_err(ref, c[: a.nrow].astype(np.float64))
+    assert 1e-5 < err <= 1e-2, err  # bf16-class, not silently higher-prec
