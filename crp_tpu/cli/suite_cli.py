@@ -114,23 +114,36 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
         rec["init_s"] = round(eng.t_init, 4)
         from ..sparse.synth import fill_b as _fb
 
-        b = np.asarray(_fb(0, a.ncol, 0, n, dtype=dtype))
-        bs = eng.rd_B.shard_src(b)
-        c = eng.exec_device(bs)  # warm-up/compile
-        eng.clear_stat()
-        times = []
-        for _ in range(ntest):
-            st = time.perf_counter()
-            c = eng.exec_device(bs)
-            c.block_until_ready()
-            times.append(time.perf_counter() - st)
+        if config.kernel == "dd":
+            # dd runs B/C as fp32 hi/lo halves through both
+            # redistributions — only exec() (host path) packs them; plain
+            # fp32 shards through exec_device would compute garbage
+            b = np.asarray(_fb(0, a.ncol, 0, n, dtype=np.float64))
+            out = eng.exec(b)  # warm-up/compile
+            eng.clear_stat()
+            times = []
+            for _ in range(ntest):
+                st = time.perf_counter()
+                out = eng.exec(b)
+                times.append(time.perf_counter() - st)
+        else:
+            b = np.asarray(_fb(0, a.ncol, 0, n, dtype=dtype))
+            bs = eng.rd_B.shard_src(b)
+            c = eng.exec_device(bs)  # warm-up/compile
+            eng.clear_stat()
+            times = []
+            for _ in range(ntest):
+                st = time.perf_counter()
+                c = eng.exec_device(bs)
+                c.block_until_ready()
+                times.append(time.perf_counter() - st)
+            out = eng.rd_C.unshard_dst(c, a.nrow, n) if check else None
         rec["exec_s"] = dict(
             min=round(min(times), 6), avg=round(sum(times) / len(times), 6),
             max=round(max(times), 6),
         )
         rec["gflops"] = round(2.0 * a.nnz * n / min(times) / 1e9, 1)
         if check:
-            out = eng.rd_C.unshard_dst(c, a.nrow, n)
             rec["rel_fro_err"] = float(rel_fro_err(a.spmm_ref(b), out))
         return rec
     else:

@@ -832,18 +832,22 @@ def plan_supergroups(
         Wsg = int(-(-int(spans.max()) // TK) * TK)
         return SG, Wsg, bases.astype(np.int32), sgc
 
-    best = None
+    feasible = []
     for SG in range(2, 129):
         got = plan_for(SG)
         if got[1] > cap:
             break
-        best = got
-    if best is None:
+        feasible.append(got)
+    if not feasible:
         return None
-    # same window count at the smallest SG -> no pad groups (dispatch pads
-    # G up to sgc * SG with zero panels, which is pure wasted MXU work)
-    # and a slightly tighter Wsg
-    SG, Wsg, bases, sgc = plan_for(-(-G // best[3]))
+    # primary objective: B traffic (sgc * Wsg rows per N tile); then pad
+    # groups (dispatch pads G up to sgc * SG with zero panels — pure wasted
+    # MXU work); then the smallest SG.  At saturation (one window covers
+    # many groups) B traffic ties across a range of SG and the pad term
+    # picks an exact divisor of G when one is feasible.
+    SG, Wsg, bases, sgc = min(
+        feasible, key=lambda p: (p[3] * p[1], p[3] * p[0] - G, p[0])
+    )
     return SG, Wsg, bases
 
 

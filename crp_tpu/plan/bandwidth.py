@@ -75,6 +75,17 @@ def _panel_boundaries(rowptr: np.ndarray, m: int, nsplit: int) -> np.ndarray:
     idx = np.empty(nsplit + 1, dtype=np.int64)
     idx[0] = 0
     idx[1:] = e
+    if idx[-1] > m:
+        # the forced +1 per-panel increments ran past m: several quota
+        # boundaries collapsed onto the matrix end (nnz concentrated in
+        # trailing rows).  The reference scans past rowptr here (undefined
+        # behaviour, deprecated/src/crpspmm.c:163-183); fail loudly instead.
+        raise ValueError(
+            f"cannot nnz-balance {m} rows into {nsplit} panels: trailing "
+            f"rows hold too few distinct quota boundaries (degenerate "
+            f"trailing-nnz distribution) — use fewer splits or the exact "
+            f"planner (plan_from_csr)"
+        )
     return idx
 
 

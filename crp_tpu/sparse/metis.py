@@ -89,12 +89,18 @@ def _part_kway_raw(lib, idx_dt, real_dt, xadj, adjncy, nparts, ubvec, ufactor):
 
 
 def _probe_widths(lib) -> tuple | None:
-    """Find (idx, real) dtypes by partitioning a 6-vertex path into 2."""
+    """Find (idx, real) dtypes by partitioning a 6-vertex path into 2.
+
+    Widest-first: a 32-bit-IDXTYPEWIDTH library reading int64 buffers stays
+    in bounds (reads half the bytes, sees a garbled graph, returns an
+    error), while a 64-bit library reading int32 buffers would read PAST
+    them — possibly segfaulting before a narrower combo is ever tried.
+    """
     xadj = np.array([0, 1, 3, 5, 7, 9, 10])
     adjncy = np.array([1, 0, 2, 1, 3, 2, 4, 3, 5, 4])
     for idx_dt, real_dt in (
-        (np.int32, np.float32), (np.int64, np.float64),
-        (np.int32, np.float64), (np.int64, np.float32),
+        (np.int64, np.float64), (np.int64, np.float32),
+        (np.int32, np.float32), (np.int32, np.float64),
     ):
         try:
             rc, part, _ = _part_kway_raw(

@@ -156,3 +156,16 @@ def test_crp_staged_phase_accounting(devices8):
     stat = eng.print_stat()
     assert "Replicate B with alltoallv" in stat
     assert "SpMM w/o Redist" in stat
+
+
+def test_crp_overlap_pallas_kernel(devices8):
+    """Review r2: overlap=1 + kernel='pallas' crashed — the ring self
+    kernel's window reach (min_b_rows) exceeded rd_B's frozen internal
+    slab height; b_loc is now padded inside the shard_map body."""
+    a = banded_random_csr(800, nnz_per_row=30, bandwidth=40, seed=52)
+    n = 8
+    eng = build(a, n, 8, devices8,
+                config=SpmmConfig(overlap=1, kernel="pallas"))
+    assert eng.overlap
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12

@@ -226,3 +226,23 @@ def test_bench_cli_metis_method(devices8, capsys):
     assert rc == 0
     err = float(out.strip().splitlines()[-1].split("=")[-1])
     assert err <= 1e-12
+
+
+def test_suite_cli_crp_dd_correct(devices8, capsys):
+    """Review r2: the crp-engine suite path fed plain fp32 shards to
+    exec_device under kernel='dd' (silently wrong results, bogus
+    timings); dd now times exec() with proper hi/lo packing."""
+    import json
+
+    from crp_tpu.cli.suite_cli import main as suite_main
+
+    rc = suite_main([
+        "kernels", "synth:banded:500:5:25", "8", "4", "--engine=crp",
+        "--list=dd", "--ntest=1",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    (rec,) = [json.loads(l) for l in lines]
+    assert "error" not in rec, rec
+    assert rec["rel_fro_err"] <= 1e-12
