@@ -95,3 +95,47 @@ def test_fuzz_halo_banded(trial, devices8):
     b = np.asarray(fill_b(0, a.ncol, 0, n))
     err = rel_fro_err(a.spmm_ref(b), eng.exec(b))
     assert err <= 1e-12, (err, a.nrow, a.nnz, n, p, eng.is_halo)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_crp_configs(trial, devices8):
+    """Any-layout engine across its full switch matrix (rb_p2p / overlap /
+    finegrain / kernel), random matrices, random user layouts."""
+    from crp_tpu.engine.crp import CrpSpmm
+    from crp_tpu.plan.bandwidth import calc_bandwidth_part2d
+    from crp_tpu.shard.layout import make_mesh_2d
+    from crp_tpu.shard.redist import BlockDist
+
+    rng = np.random.default_rng(4000 + trial)
+    a, n = _random_case(rng)
+    n = max(n, 2)
+    p = int(rng.choice([4, 8]))
+    cfg = SpmmConfig(
+        rb_p2p=int(rng.integers(0, 2)),
+        overlap=int(rng.random() < 0.4),
+        a2a_b_finegrain=int(rng.integers(0, 2)),
+        kernel=str(rng.choice(["segsum", "ell", "pallas", "dd"])),
+    )
+    if cfg.kernel == "dd" and cfg.overlap:
+        cfg.overlap = 0
+    # user layouts are one block per device (reference contract: every
+    # rank owns one B block and one C block) — random p-factor grids
+    def grid(rows, cols):
+        facs = [(r, p // r) for r in (1, 2, 4, 8) if p % r == 0 and r <= rows
+                and p // r <= cols]
+        r, c = facs[int(rng.integers(len(facs)))]
+        return BlockDist.from_grid(
+            uniform_displs(rows, r), uniform_displs(cols, c)
+        )
+
+    user_B = grid(a.ncol, n)
+    user_C = grid(a.nrow, n)
+    bp = calc_bandwidth_part2d(
+        p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges_v1()
+    )
+    mesh = make_mesh_2d(bp.np_row, bp.np_col, devices=devices8)
+    eng = CrpSpmm(a, n, user_B, user_C, nproc=p, mesh=mesh, config=cfg,
+                  bplan=bp)
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    err = rel_fro_err(a.spmm_ref(b), eng.exec(b))
+    assert err <= 1e-12, (err, cfg, a.nrow, a.nnz, n, p, eng.kernel_kind)
