@@ -117,7 +117,11 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
         if config.kernel == "dd":
             # dd runs B/C as fp32 hi/lo halves through both
             # redistributions — only exec() (host path) packs them; plain
-            # fp32 shards through exec_device would compute garbage
+            # fp32 shards through exec_device would compute garbage.  The
+            # record carries timing="host_roundtrip" because exec_s here
+            # includes per-iteration host split/pack/unshard that the
+            # device-only rows exclude — not comparable within one table.
+            rec["timing"] = "host_roundtrip"
             b = np.asarray(_fb(0, a.ncol, 0, n, dtype=np.float64))
             out = eng.exec(b)  # warm-up/compile
             eng.clear_stat()

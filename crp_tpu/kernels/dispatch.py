@@ -205,13 +205,20 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
     # single-shard packs with monotone windows use the super-grouped
     # variant: one B super-window DMA feeds SG groups (B traffic / ~SG)
     sg_plan = None
+    # the bf16 1-pass kernel DMAs a single 2-byte window; the others hold
+    # the window at the data itemsize (fp32) or as a bf16 hi/lo PAIR —
+    # budget and Wc feasibility must use the actual per-slot bytes
+    is_bf16_1pass = (
+        mxu_precision == "default" and np.dtype(dtype) == np.float32
+    )
+    win_itemsize = 2 if is_bf16_1pass else np.dtype(dtype).itemsize
     if len(packs) == 1 and packs[0] is not None:
         from .spmm_pallas import plan_supergroups
 
         # off-TPU the pallas interpreter's per-step cost scales with the
         # scratch size — keep windows small there (correctness-only path)
         sg_plan = plan_supergroups(
-            ws[0, : packs[0].G], W, 256, np.dtype(dtype).itemsize,
+            ws[0, : packs[0].G], W, 256, win_itemsize,
             vmem_budget=(4 << 20) if interpret else None,
         )
     if sg_plan is not None:
@@ -223,7 +230,8 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
         # removes the per-chunk accumulate steps: measured 0.0138 -> 0.0129 s
         # at the headline shape (bench_results/r2_tpu_sg_wc.jsonl)
         Wc_sg = (
-            W if sg_vmem_limit(Wsg, W, TM, 256, 4) <= (112 << 20) else None
+            W if sg_vmem_limit(Wsg, W, TM, 256, win_itemsize) <= (112 << 20)
+            else None
         )
         sgc = -(-G // SG)
         G_sg = sgc * SG

@@ -452,7 +452,7 @@ def _window_kernel_sg_presplit(
 def _window_kernel_sg_presplit_ab(
     ws_ref, base_ref, ah_ref, al_ref, bh_hbm, bl_hbm, o_ref,
     win_h, win_l, sem_h, sem_l,
-    *, Wsg, Wc, TN, NJ, C, SG, passes,
+    *, Wsg, Wc, TN, NJ, C, SG,
 ):
     """x3 variant with BOTH operands pre-split to bf16 hi/lo in HBM.
 
@@ -460,8 +460,8 @@ def _window_kernel_sg_presplit_ab(
     redundant VPU passes over the same window rows; with B stored as bf16
     halves the windows DMA directly into bf16 scratch (same total scratch
     bytes as one fp32 window) and the kernel is pure MXU + accumulate.
-    (``passes`` is fixed at 3 by the public wrapper; the single-pass bf16
-    operating point has its own kernel that never touches the lo halves.)
+    (The single-pass bf16 operating point has its own kernel,
+    ``_window_kernel_sg_bf16``, which never streams the lo halves.)
     """
     import jax
     import jax.numpy as jnp
@@ -487,10 +487,8 @@ def _window_kernel_sg_presplit_ab(
         )
 
     def both(l, slot):
-        dmas = [sw_dma(l, slot, bh_hbm, win_h, sem_h)]
-        if passes == 3:
-            dmas.append(sw_dma(l, slot, bl_hbm, win_l, sem_l))
-        return dmas
+        return [sw_dma(l, slot, bh_hbm, win_h, sem_h),
+                sw_dma(l, slot, bl_hbm, win_l, sem_l)]
 
     @pl.when((sg == 0) & (jn == 0) & (u == 0))
     def _():
@@ -518,10 +516,8 @@ def _window_kernel_sg_presplit_ab(
         preferred_element_type=jnp.float32,
     )
     bh = win_h[slot, sl, :]
-    partial = dot(ah_ref[0], bh)
-    if passes == 3:
-        bl = win_l[slot, sl, :]
-        partial = partial + (dot(ah_ref[0], bl) + dot(al_ref[0], bh))
+    bl = win_l[slot, sl, :]
+    partial = dot(ah_ref[0], bh) + (dot(ah_ref[0], bl) + dot(al_ref[0], bh))
 
     @pl.when(t == 0)
     def _():
@@ -656,7 +652,7 @@ def spmm_window_pallas_sg_presplit_ab(
 
     kern = functools.partial(
         _window_kernel_sg_presplit_ab,
-        Wsg=Wsg, Wc=Wc, TN=TN, NJ=n // TN, C=C, SG=SG, passes=3,
+        Wsg=Wsg, Wc=Wc, TN=TN, NJ=n // TN, C=C, SG=SG,
     )
     fn = _sg_call(kern, 4, sgc, SG, C, n // TN, TM, TN, Wc, Wsg, G, n,
                   bh.dtype, 2, interpret)

@@ -153,17 +153,27 @@ def calc_bandwidth_part2d(
             split_m_cost = SIZE_MAX
             idx2, copy_b2 = m_split_idx, curr_copy_b
         else:
-            idx2 = _panel_boundaries(rowptr, m, trial_m)
-            windows = _panel_b_windows(row_ranges, idx2)
-            copy_b2 = _copy_b_size(windows, n)
-            split_m_cost = (a_copy_cost1 + copy_b2) % _M64
+            try:
+                idx2 = _panel_boundaries(rowptr, m, trial_m)
+            except ValueError:
+                # quota boundaries collapse past m (trailing-nnz degenerate
+                # input, reference UB) — this M split is infeasible, but a
+                # split-N alternative may still yield a valid plan
+                split_m_cost = SIZE_MAX
+                idx2, copy_b2 = m_split_idx, curr_copy_b
+            else:
+                windows = _panel_b_windows(row_ranges, idx2)
+                copy_b2 = _copy_b_size(windows, n)
+                split_m_cost = (a_copy_cost1 + copy_b2) % _M64
         if split_m_cost == SIZE_MAX and split_n_cost == SIZE_MAX:
-            # neither axis can absorb this factor (m_split*p_i > m AND
-            # n_split*p_i > n): growing n_split past n would emit empty
-            # B/C column slabs — surface the nproc-too-large condition
+            # neither axis can absorb this factor (M split exceeds m or
+            # degenerates on trailing-nnz quota collapse; N split exceeds
+            # n): growing n_split past n would emit empty B/C column
+            # slabs — surface the nproc-too-large condition
             raise ValueError(
-                f"bandwidth planner: cannot split factor {p_i} — "
-                f"m_split={m_split}*{p_i} > m={m} and "
+                f"bandwidth planner: cannot split factor {p_i} — the M "
+                f"split is infeasible (m_split={m_split}*{p_i} vs m={m}, "
+                f"or degenerate trailing-nnz quotas) and "
                 f"n_split={n_split}*{p_i} > n={n}; reduce nproc"
             )
         if split_m_cost < split_n_cost:
