@@ -816,6 +816,11 @@ def plan_supergroups(
     if vmem_budget is None:
         vmem_budget = default_sg_budget()
     cap = vmem_budget // (2 * TN * itemsize)  # rows per super-window slot
+    # measured on-chip: past ~24k-row super-windows, reuse is saturated and
+    # wider slots only coarsen the DMA pipeline and add pad groups
+    # (0.0071 -> 0.0086 s at the headline when bf16's 2-byte slots let SG
+    # run to 122) — cap rows at the swept optimum regardless of itemsize
+    cap = min(cap, 24576)
     G = ws.size
 
     def plan_for(SG):
@@ -836,13 +841,17 @@ def plan_supergroups(
         feasible.append(got)
     if not feasible:
         return None
-    # primary objective: B traffic (sgc * Wsg rows per N tile); then pad
-    # groups (dispatch pads G up to sgc * SG with zero panels — pure wasted
-    # MXU work); then the smallest SG.  At saturation (one window covers
-    # many groups) B traffic ties across a range of SG and the pad term
-    # picks an exact divisor of G when one is feasible.
+    # Objective: B traffic (sgc * Wsg rows per N tile) — but once reuse
+    # saturates, squeezing the last few percent of traffic with a huge SG
+    # is a measured LOSS (pad groups are pure wasted MXU work and wide
+    # slots coarsen the DMA pipeline: 0.0071 -> 0.0086 s at the headline
+    # when SG ran to 128).  So: among plans within 10% of the minimal
+    # traffic, minimize pad groups (an exact divisor of G when feasible),
+    # then SG.
+    b_min = min(p[3] * p[1] for p in feasible)
+    near = [p for p in feasible if p[3] * p[1] <= b_min + b_min // 10]
     SG, Wsg, bases, sgc = min(
-        feasible, key=lambda p: (p[3] * p[1], p[3] * p[0] - G, p[0])
+        near, key=lambda p: (p[3] * p[0] - G, p[0])
     )
     return SG, Wsg, bases
 
