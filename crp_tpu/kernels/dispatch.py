@@ -108,6 +108,9 @@ def pack_local_kernel(
     if kind == "pallas":
         return _pack_pallas(shards, max_m, dtype, mxu_precision)
 
+    if kind == "ragged":
+        return _pack_ragged(shards, max_m, dtype, mxu_precision)
+
     if kind == "dd":
         from .spmm_dd import (
             pack_coo_dd, pack_ell_dd, spmm_ell_dd, spmm_segsum_dd,
@@ -154,13 +157,86 @@ def pack_local_kernel(
     raise ValueError(f"unknown local SpMM kernel kind {kind!r}")
 
 
+def _uniform_cost_estimate(shards, max_m, TM=256):
+    """Predicted shared-W uniform pack, without densifying: (W, G, ok).
+
+    Mirrors the window derivation of ``pack_window_dense`` (per-row column
+    extrema -> per-group tile ranges) in O(nrow) per shard.
+    """
+    from .spmm_pallas import choose_chunks, TK
+
+    W_raw = 0
+    G = -(-max_m // TM)
+    for rowptr, cc, _ in shards:
+        nrow = len(rowptr) - 1
+        if nrow == 0 or int(rowptr[-1]) == int(rowptr[0]):
+            continue
+        rowptr = np.asarray(rowptr, dtype=np.int64)
+        counts = np.diff(rowptr)
+        nonempty = counts > 0
+        row_min = np.full(nrow, np.iinfo(np.int64).max, dtype=np.int64)
+        row_max = np.full(nrow, -1, dtype=np.int64)
+        row_min[nonempty] = cc[rowptr[:-1][nonempty]]
+        row_max[nonempty] = cc[rowptr[1:][nonempty] - 1]
+        Gs = -(-nrow // TM)
+        starts = np.arange(Gs) * TM
+        min_t = np.minimum.reduceat(row_min, starts) // TK
+        max_t = np.maximum.reduceat(row_max, starts) // TK
+        empty = max_t < 0
+        min_t = np.where(empty, 0, np.minimum(min_t, max_t))
+        max_t = np.where(empty, 0, max_t)
+        W_raw = max(W_raw, int((max_t - min_t + 1).max()) * TK)
+        G = max(G, Gs)
+    W, _, _ = choose_chunks(max(W_raw, TK))
+    return W, G, W_raw <= 16384
+
+
 def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
     """Stack per-shard WindowDense packs to common (G, T) dims.
+
+    Falls back to the ragged gathered-window family (``_pack_ragged``) when
+    the uniform window is infeasible (power-law / unstructured sparsity) or
+    wastes >3x the panel memory of a ragged cover (variable bandwidth).
 
     The returned local_fn carries ``min_b_rows``: engines must size the
     receive buffer rB to at least this many rows so every window DMA is
     in-bounds.
     """
+    import jax
+
+    from .spmm_pallas import pack_window_dense, spmm_window_pallas, WindowDense
+
+    from .spmm_pallas import choose_chunks, UnsupportedSparsity
+
+    W_est, G_est, uniform_ok = _uniform_cost_estimate(shards, max_m)
+    if not uniform_ok:
+        return _pack_ragged(shards, max_m, dtype, mxu_precision)
+    itemsize = np.dtype(dtype).itemsize
+    bytes_uniform = len(shards) * G_est * 256 * W_est * itemsize
+    if W_est > 4096 or bytes_uniform > (1 << 30):
+        # wide windows: compare against a ragged cover before densifying
+        from .spmm_ragged import estimate_ragged, ragged_params
+
+        TMr, Wcr = ragged_params()
+        bytes_ragged = 0
+        for rowptr, cc, _ in shards:
+            if len(rowptr) < 2 or int(rowptr[-1]) == int(rowptr[0]):
+                continue
+            S, _, _ = estimate_ragged(rowptr, cc, TMr, Wcr)
+            bytes_ragged += S * TMr * Wcr * itemsize
+        if bytes_uniform > 3 * max(bytes_ragged, 1):
+            try:
+                return _pack_ragged(shards, max_m, dtype, mxu_precision)
+            except UnsupportedSparsity:
+                pass  # ragged not worthwhile either; try uniform below
+
+    try:
+        return _pack_pallas_uniform(shards, max_m, dtype, mxu_precision)
+    except UnsupportedSparsity:
+        return _pack_ragged(shards, max_m, dtype, mxu_precision)
+
+
+def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
     import jax
 
     from .spmm_pallas import pack_window_dense, spmm_window_pallas, WindowDense
@@ -347,4 +423,180 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
         b_itemsize=np.dtype(dtype).itemsize,
     )
     arrays = (ws, tiles)
+    return arrays, local_fn
+
+
+def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
+    """Ragged gathered-window pack: per-group chunk lists + VPU spill.
+
+    Serves the sparsity classes the uniform windowed kernel rejects —
+    variable/large bandwidth and power-law matrices (the reference's local
+    kernels take any CSR: MKL ``src/rowpara_spmm.c:398-407``, cuSPARSE
+    ``deprecated/src/cuda_proxy.cu:122-182``).  Raises UnsupportedSparsity
+    when the cover spills more than ``CRP_TPU_RAGGED_MIN_PCT`` (default
+    70%) of the nonzeros — the engines then fall back to segsum.
+    """
+    import os
+
+    import jax
+
+    from .spmm_pallas import UnsupportedSparsity
+    from .spmm_ragged import (
+        pack_ragged_window, pack_spill, ragged_params,
+        spmm_ragged, spmm_ragged_bf16, spmm_ragged_presplit,
+        spmm_spill_chunked,
+    )
+
+    TM, Wc = ragged_params()
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        # interpreter per-step cost scales with scratch size; tests run
+        # tiny shapes (correctness-only path)
+        Wc = min(Wc, 256)
+    pack_dtype = np.float64 if np.dtype(dtype) == np.float64 else np.float32
+
+    packs = []
+    total_nnz = 0
+    mxu_nnz = 0
+    for rowptr, cc, v in shards:
+        nnz = int(rowptr[-1]) - int(rowptr[0]) if len(rowptr) > 1 else 0
+        total_nnz += nnz
+        if nnz == 0:
+            packs.append(None)
+            continue
+        ncol = int(cc.max()) + 1 if len(cc) else 1
+        rw = pack_ragged_window(
+            rowptr, cc, v, ncol, TM=TM, Wc=Wc, dtype=pack_dtype
+        )
+        mxu_nnz += rw.mxu_nnz
+        packs.append(rw)
+    if total_nnz == 0:
+        raise UnsupportedSparsity("all shards empty")
+    min_pct = int(os.environ.get("CRP_TPU_RAGGED_MIN_PCT", 30))
+    if mxu_nnz * 100 < min_pct * total_nnz:
+        raise UnsupportedSparsity(
+            f"ragged cover keeps only {mxu_nnz * 100 // total_nnz}% of nnz "
+            f"on the MXU (min {min_pct}%)"
+        )
+
+    G = max(
+        -(-max_m // TM),
+        max((p.G for p in packs if p is not None), default=1),
+    )
+
+    # per-shard step arrays, extended with dummy chunks for groups past the
+    # shard's own count (so every output block is initialized), then padded
+    # to a common S with trailing no-op steps on the last group
+    per = []
+    for p_ in packs:
+        if p_ is None:
+            starts = np.zeros(G, np.int32)
+            step_g = np.arange(G, dtype=np.int32)
+            step_first = np.ones(G, np.int32)
+            pan = np.zeros((0, TM, Wc), pack_dtype)
+            real_S = 0
+        else:
+            starts, step_g, step_first = p_.starts, p_.step_g, p_.step_first
+            pan = p_.panels
+            real_S = p_.S
+            if p_.G < G:
+                extra = G - p_.G
+                starts = np.concatenate([starts, np.zeros(extra, np.int32)])
+                step_g = np.concatenate(
+                    [step_g, np.arange(p_.G, G, dtype=np.int32)]
+                )
+                step_first = np.concatenate(
+                    [step_first, np.ones(extra, np.int32)]
+                )
+        per.append((starts, step_g, step_first, pan, real_S))
+
+    S = max(len(x[0]) for x in per)
+    p = len(shards)
+    a_starts = np.zeros((p, S), np.int32)
+    a_g = np.full((p, S), G - 1, np.int32)
+    a_first = np.zeros((p, S), np.int32)
+    panels = np.zeros((p, S, TM, Wc), pack_dtype)
+    for i, (starts, step_g, step_first, pan, real_S) in enumerate(per):
+        k = len(starts)
+        a_starts[i, :k] = starts
+        a_g[i, :k] = step_g
+        a_first[i, :k] = step_first
+        panels[i, :real_S] = pan
+
+    Z = max((p_.spill_nnz for p_ in packs if p_ is not None), default=0)
+    has_spill = Z > 0
+    if has_spill:
+        sp = [
+            pack_spill(
+                p_.spill if p_ is not None else None, Z, G * TM, pack_dtype
+            )
+            for p_ in packs
+        ]
+        sp_rows = np.stack([s[0] for s in sp])
+        sp_cols = np.stack([s[1] for s in sp])
+        sp_vals = np.stack([s[2] for s in sp])
+
+    min_b_rows = int(a_starts.max()) + Wc
+    kw = dict(G=G, TM=TM, Wc=Wc, interpret=interpret)
+    is_f32 = np.dtype(dtype) == np.float32
+
+    def add_spill(c, arrs, rB):
+        if not has_spill:
+            return c
+        r, cl, v = arrs[-3], arrs[-2], arrs[-1]
+        return c + spmm_spill_chunked(r, cl, v, rB, G * TM)
+
+    if mxu_precision == "default" and is_f32:
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        ah = panels.astype(ml_dtypes.bfloat16)
+
+        def local_fn(arrs, rB):
+            c = spmm_ragged_bf16(
+                arrs[0], arrs[1], arrs[2], arrs[3],
+                rB.astype(jnp.bfloat16), **kw,
+            )
+            return add_spill(c, arrs, rB).astype(rB.dtype)
+
+        arrays = (a_g, a_first, a_starts, ah)
+        a_bytes = ah.nbytes
+        b_itemsize = 2
+    elif mxu_precision == "x3" and is_f32:
+        import ml_dtypes
+
+        ah = panels.astype(ml_dtypes.bfloat16)
+        al = (panels - ah.astype(np.float32)).astype(ml_dtypes.bfloat16)
+
+        def local_fn(arrs, rB):
+            c = spmm_ragged_presplit(
+                arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], rB, **kw
+            )
+            return add_spill(c, arrs, rB).astype(rB.dtype)
+
+        arrays = (a_g, a_first, a_starts, ah, al)
+        a_bytes = ah.nbytes + al.nbytes
+        b_itemsize = np.dtype(dtype).itemsize
+    else:
+        def local_fn(arrs, rB):
+            c = spmm_ragged(
+                arrs[0], arrs[1], arrs[2], arrs[3], rB, **kw
+            )
+            return add_spill(c, arrs, rB).astype(rB.dtype)
+
+        arrays = (a_g, a_first, a_starts, panels)
+        a_bytes = panels.nbytes
+        b_itemsize = np.dtype(dtype).itemsize
+
+    if has_spill:
+        arrays = arrays + (sp_rows, sp_cols, sp_vals)
+
+    local_fn.min_b_rows = min_b_rows
+    local_fn.variant = "ragged"
+    local_fn.roofline = dict(
+        G=G, TM=TM, W=Wc, a_bytes=a_bytes,
+        b_rows_read=S * Wc, c_rows=G * TM, b_itemsize=b_itemsize,
+        S=S, spill_nnz=Z * p,
+        mxu_frac=mxu_nnz / total_nnz,
+    )
     return arrays, local_fn

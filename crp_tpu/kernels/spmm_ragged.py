@@ -1,0 +1,662 @@
+"""Local CSR x dense SpMM — ragged gathered-window Pallas MXU kernel.
+
+Generalizes the uniform windowed kernel (``spmm_pallas.py``) from "one
+contiguous window per row group" to "a ragged LIST of fixed-width chunks
+per row group", lifting the two limits the round-2 review called out
+against the reference's any-CSR local kernels (MKL
+``src/rowpara_spmm.c:398-407``, cuSPARSE
+``deprecated/src/cuda_proxy.cu:122-182``):
+
+  * variable / large bandwidth: panel storage is ``sum_g chunks_g * TM *
+    Wc`` — proportional to the *covered intervals*, not ``G * max_window``
+    — so cage15-class (~100M nnz) shards pack on a single chip;
+  * unstructured / power-law sparsity: each group's nonzero columns are
+    greedily covered by ``Wc``-wide TK-aligned intervals; chunks whose nnz
+    count cannot pay for their dense panel (``min_chunk_nnz``) are dropped
+    and their nonzeros *spill* to a memory-bounded VPU scatter-add path —
+    the hybrid serves hub tiles and community-local blocks on the MXU and
+    the random tail on the VPU.
+
+Kernel shape: grid ``(NJ, S)`` — n-tiles outer so that each ``(group,
+n-tile)`` output block is visited on consecutive steps (all of a group's
+chunks are adjacent in the flat step order).  Per step the A panel chunk
+``(TM, Wc)`` streams through the BlockSpec pipeline while the B chunk
+``B[starts[s] : +Wc, j*TN : +TN]`` is DMA'd HBM->VMEM double-buffered
+across steps; chunk starts are data-dependent, hence scalar-prefetched
+(``PrefetchScalarGridSpec``) like the uniform kernel's window starts.
+
+Precision follows the windowed family: fp32 panels + HIGHEST (~1e-7),
+pre-split bf16 hi/lo panels with in-kernel B split ("x3", ~1e-6), or
+bf16 hi-only 1-pass ("default", ~1e-3, half the panel bytes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from .spmm_pallas import TK, UnsupportedSparsity
+
+
+@dataclasses.dataclass
+class RaggedWindow:
+    """Host-side packed form of one shard for the ragged kernel."""
+
+    nrow: int              # rows covered (G * TM >= nrow)
+    ncol: int              # rB rows (gather space)
+    TM: int
+    G: int                 # row groups
+    Wc: int                # chunk width (rows of B per chunk, TK-aligned)
+    starts: np.ndarray     # (S,) int32 B-row start per chunk (TK-aligned)
+    group_ptr: np.ndarray  # (G+1,) int64 chunk range per group (>=1 each)
+    panels: np.ndarray     # (S, TM, Wc) dense A chunk panels
+    # spilled nonzeros (rows relative to the shard, cols in rB space);
+    # None when every nnz landed in a kept chunk
+    spill: tuple[np.ndarray, np.ndarray, np.ndarray] | None
+    mxu_nnz: int
+    spill_nnz: int
+
+    @property
+    def S(self) -> int:
+        return len(self.starts)
+
+    @property
+    def step_g(self) -> np.ndarray:
+        return np.repeat(
+            np.arange(self.G, dtype=np.int32), np.diff(self.group_ptr)
+        )
+
+    @property
+    def step_first(self) -> np.ndarray:
+        first = np.zeros(self.S, dtype=np.int32)
+        first[self.group_ptr[:-1]] = 1
+        return first
+
+    @property
+    def min_b_rows(self) -> int:
+        return int(self.starts.max()) + self.Wc if self.S else self.Wc
+
+
+def ragged_params() -> tuple[int, int]:
+    """(TM, Wc) for the ragged kernel; env ``CRP_TPU_RAGGED_TM`` /
+    ``CRP_TPU_RAGGED_WC`` override the defaults (128, 512)."""
+    import os
+
+    TM = int(os.environ.get("CRP_TPU_RAGGED_TM", 128))
+    Wc = int(os.environ.get("CRP_TPU_RAGGED_WC", 512))
+    assert Wc % TK == 0, Wc
+    return TM, Wc
+
+
+def default_min_chunk_nnz(TM: int, Wc: int) -> int:
+    """Break-even nnz for keeping a chunk on the MXU.
+
+    A kept chunk streams ~``TM*Wc`` A-panel bytes + ``Wc*n`` B bytes per
+    exec; a spilled nnz costs ~two n-vectors of gather/scatter traffic.
+    The ratio lands near ``TM*Wc/192``; override with
+    ``CRP_TPU_RAGGED_MIN_NNZ``.
+    """
+    import os
+
+    env = os.environ.get("CRP_TPU_RAGGED_MIN_NNZ")
+    if env is not None:
+        return max(1, int(env))
+    return max(8, (TM * Wc) // 192)
+
+
+def _cover_group_np(cols_sorted: np.ndarray, Wc: int) -> list[int]:
+    """Greedy fixed-width interval cover of sorted distinct columns.
+
+    Chunks are TK-aligned, width Wc, disjoint (next start >= prev + Wc).
+    """
+    starts = []
+    i = 0
+    n = len(cols_sorted)
+    while i < n:
+        s = (int(cols_sorted[i]) // TK) * TK
+        starts.append(s)
+        i = int(np.searchsorted(cols_sorted, s + Wc, side="left"))
+    return starts
+
+
+def ragged_cover_np(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    TM: int,
+    Wc: int,
+    min_chunk_nnz: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """numpy twin of the native cover: (starts, group_ptr, spill_nnz).
+
+    Every group gets >= 1 chunk (an all-zero dummy when everything
+    spilled) so its output block is always initialized.
+    """
+    nrow = len(rowptr) - 1
+    G = max(-(-nrow // TM), 1)
+    all_starts: list[int] = []
+    group_ptr = np.zeros(G + 1, dtype=np.int64)
+    spill_nnz = 0
+    for g in range(G):
+        j0 = int(rowptr[min(g * TM, nrow)])
+        j1 = int(rowptr[min((g + 1) * TM, nrow)])
+        kept: list[int] = []
+        if j1 > j0:
+            cols = np.unique(colidx[j0:j1])
+            starts = np.asarray(_cover_group_np(cols, Wc), dtype=np.int64)
+            # chunk of each nnz: disjoint chunks, cover is total
+            ch = np.searchsorted(starts, colidx[j0:j1], side="right") - 1
+            cnt = np.bincount(ch, minlength=len(starts))
+            keep = cnt >= min_chunk_nnz
+            kept = [int(s) for s, k in zip(starts, keep) if k]
+            spill_nnz += int(cnt[~keep].sum())
+        if not kept:
+            kept = [0]
+        all_starts.extend(kept)
+        group_ptr[g + 1] = len(all_starts)
+    return np.asarray(all_starts, dtype=np.int32), group_ptr, spill_nnz
+
+
+def pack_ragged_window(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    val: np.ndarray,
+    ncol: int,
+    TM: int = 128,
+    Wc: int = 512,
+    min_chunk_nnz: int | None = None,
+    max_panel_bytes: int = 8 << 30,
+    dtype=np.float32,
+) -> RaggedWindow:
+    """Cover + densify a CSR shard into ragged chunk panels (+ spill COO).
+
+    Raises UnsupportedSparsity when the kept panels would exceed
+    ``max_panel_bytes``.
+    """
+    assert Wc % TK == 0, Wc
+    nrow = len(rowptr) - 1
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    nnz = int(rowptr[-1]) - int(rowptr[0])
+    if nnz == 0:
+        raise UnsupportedSparsity("empty shard")
+    if min_chunk_nnz is None:
+        min_chunk_nnz = default_min_chunk_nnz(TM, Wc)
+    G = max(-(-nrow // TM), 1)
+
+    from .. import native
+
+    got = native.ragged_cover(rowptr, colidx, TM, TK, Wc, min_chunk_nnz, G)
+    if got is not None:
+        starts, group_ptr, spill_nnz = got
+    else:
+        starts, group_ptr, spill_nnz = ragged_cover_np(
+            rowptr, colidx, TM, Wc, min_chunk_nnz
+        )
+    S = len(starts)
+    panel_bytes = S * TM * Wc * np.dtype(dtype).itemsize
+    if panel_bytes > max_panel_bytes:
+        raise UnsupportedSparsity(
+            f"ragged panels {panel_bytes >> 20} MiB > cap"
+        )
+
+    val32 = np.asarray(val, dtype=np.float32)
+    filled = None
+    if np.dtype(dtype) == np.float32:
+        filled = native.ragged_fill_f32(
+            rowptr, colidx, val32, TM, TK, Wc, G, starts, group_ptr, spill_nnz
+        )
+    if filled is not None:
+        panels, sp_rows, sp_cols, sp_vals = filled
+        spill_nnz = len(sp_rows)
+    else:
+        panels = np.zeros((S, TM, Wc), dtype=dtype)
+        sp_rows = np.zeros(spill_nnz, dtype=np.int32)
+        sp_cols = np.zeros(spill_nnz, dtype=np.int32)
+        sp_vals = np.zeros(spill_nnz, dtype=dtype)
+        sp = 0
+        counts = np.diff(rowptr)
+        r_all = np.repeat(np.arange(nrow, dtype=np.int64), counts)
+        for g in range(G):
+            j0 = int(rowptr[min(g * TM, nrow)])
+            j1 = int(rowptr[min((g + 1) * TM, nrow)])
+            if j1 == j0:
+                continue
+            c0, c1 = int(group_ptr[g]), int(group_ptr[g + 1])
+            sg = starts[c0:c1].astype(np.int64)
+            cols = colidx[j0:j1].astype(np.int64)
+            rows = r_all[j0:j1]
+            ch = np.searchsorted(sg, cols, side="right") - 1
+            inside = (ch >= 0) & (cols - sg[np.clip(ch, 0, None)] < Wc)
+            pi = np.flatnonzero(inside)
+            flat = (
+                (c0 + ch[pi]) * TM + (rows[pi] - g * TM)
+            ) * Wc + (cols[pi] - sg[ch[pi]])
+            np.add.at(panels.reshape(-1), flat, val[j0:j1][pi].astype(dtype))
+            si = np.flatnonzero(~inside)
+            k = len(si)
+            sp_rows[sp : sp + k] = rows[si]
+            sp_cols[sp : sp + k] = cols[si]
+            sp_vals[sp : sp + k] = val[j0:j1][si].astype(dtype)
+            sp += k
+        # the cover's count is an upper bound — dropped-chunk nnz inside a
+        # kept/dummy chunk's range are absorbed into the panel instead
+        assert sp <= spill_nnz, (sp, spill_nnz)
+        sp_rows, sp_cols, sp_vals = sp_rows[:sp], sp_cols[:sp], sp_vals[:sp]
+        spill_nnz = sp
+
+    spill = (sp_rows, sp_cols, sp_vals) if spill_nnz else None
+    return RaggedWindow(
+        nrow=nrow, ncol=ncol, TM=TM, G=G, Wc=Wc,
+        starts=starts, group_ptr=group_ptr,
+        panels=np.asarray(panels, dtype=dtype),
+        spill=spill, mxu_nnz=nnz - spill_nnz, spill_nnz=spill_nnz,
+    )
+
+
+def estimate_ragged(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    TM: int = 128,
+    Wc: int = 512,
+    min_chunk_nnz: int | None = None,
+) -> tuple[int, int, int]:
+    """Cover-only pass for the dispatch cost model: (S, spill_nnz, G)."""
+    if min_chunk_nnz is None:
+        min_chunk_nnz = default_min_chunk_nnz(TM, Wc)
+    nrow = len(rowptr) - 1
+    G = max(-(-nrow // TM), 1)
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    from .. import native
+
+    got = native.ragged_cover(rowptr, colidx, TM, TK, Wc, min_chunk_nnz, G)
+    if got is None:
+        got = ragged_cover_np(rowptr, colidx, TM, Wc, min_chunk_nnz)
+    starts, _, spill_nnz = got
+    return len(starts), int(spill_nnz), G
+
+
+# --------------------------------------------------------------------- kernel
+
+
+def _ragged_kernel(
+    g_ref, first_ref, starts_ref, a_ref, b_hbm, o_ref, window, sem,
+    *, Wc, TN, NJ, S, precision, compute_dtype, acc_dtype,
+):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    lin = j * S + s
+    total = NJ * S
+
+    def chunk_dma(l, slot):
+        jj = l // S
+        ss = l - jj * S
+        return pltpu.make_async_copy(
+            b_hbm.at[
+                pl.ds(pl.multiple_of(starts_ref[ss], TK), Wc),
+                pl.ds(pl.multiple_of(jj * TN, TN), TN),
+            ],
+            window.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        chunk_dma(lin + 1, (lin + 1) % 2).start()
+
+    slot = lin % 2
+    chunk_dma(lin, slot).wait()
+
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "x3":
+        a32 = a_ref[0].astype(jnp.float32)
+        b32 = window[slot].astype(jnp.float32)
+        ah = a32.astype(jnp.bfloat16)
+        al = (a32 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b32.astype(jnp.bfloat16)
+        bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        partial = dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+    else:
+        partial = jax.lax.dot_general(
+            a_ref[0].astype(compute_dtype),
+            window[slot].astype(compute_dtype),
+            dims,
+            preferred_element_type=acc_dtype,
+            precision=precision,
+        )
+
+    first = first_ref[s] == 1
+
+    @pl.when(first)
+    def _():
+        o_ref[:] = partial.astype(o_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+
+
+def _ragged_kernel_presplit(
+    g_ref, first_ref, starts_ref, ah_ref, al_ref, b_hbm, o_ref, window, sem,
+    *, Wc, TN, NJ, S,
+):
+    """x3 variant: A chunks pre-split to bf16 hi/lo at pack time, B split
+    in-kernel (the in-kernel B split is fully hidden behind the DMA —
+    measured on the uniform family, bench_results/r2_tpu_presplit_b)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    lin = j * S + s
+    total = NJ * S
+
+    def chunk_dma(l, slot):
+        jj = l // S
+        ss = l - jj * S
+        return pltpu.make_async_copy(
+            b_hbm.at[
+                pl.ds(pl.multiple_of(starts_ref[ss], TK), Wc),
+                pl.ds(pl.multiple_of(jj * TN, TN), TN),
+            ],
+            window.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        chunk_dma(lin + 1, (lin + 1) % 2).start()
+
+    slot = lin % 2
+    chunk_dma(lin, slot).wait()
+
+    b32 = window[slot].astype(jnp.float32)
+    bh = b32.astype(jnp.bfloat16)
+    bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    partial = dot(ah_ref[0], bh) + (dot(ah_ref[0], bl) + dot(al_ref[0], bh))
+
+    first = first_ref[s] == 1
+
+    @pl.when(first)
+    def _():
+        o_ref[:] = partial.astype(o_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+
+
+def _ragged_kernel_bf16(
+    g_ref, first_ref, starts_ref, ah_ref, bh_hbm, o_ref, window, sem,
+    *, Wc, TN, NJ, S,
+):
+    """1-pass bf16 operating point: half the panel bytes, one MXU pass."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    lin = j * S + s
+    total = NJ * S
+
+    def chunk_dma(l, slot):
+        jj = l // S
+        ss = l - jj * S
+        return pltpu.make_async_copy(
+            bh_hbm.at[
+                pl.ds(pl.multiple_of(starts_ref[ss], TK), Wc),
+                pl.ds(pl.multiple_of(jj * TN, TN), TN),
+            ],
+            window.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        chunk_dma(lin + 1, (lin + 1) % 2).start()
+
+    slot = lin % 2
+    chunk_dma(lin, slot).wait()
+
+    partial = jax.lax.dot_general(
+        ah_ref[0], window[slot], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    first = first_ref[s] == 1
+
+    @pl.when(first)
+    def _():
+        o_ref[:] = partial.astype(o_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+
+
+def _ragged_call(kern, n_a, G, TM, Wc, TN, NJ, S, n, win_dtype, acc_dtype,
+                 interpret):
+    """Shared pallas_call builder for the ragged kernel family."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a_spec = pl.BlockSpec((1, TM, Wc), lambda j, s, *_: (s, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # step_g, step_first, starts
+        grid=(NJ, S),
+        in_specs=[a_spec] * n_a + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (TM, TN), lambda j, s, g_ref, *_: (g_ref[s], j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Wc, TN), win_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    win_bytes = 2 * Wc * TN * np.dtype(win_dtype).itemsize
+    need = win_bytes + (n_a + 1) * 2 * TM * Wc * 4 + TM * TN * 4
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * TM, n), acc_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(max(need * 2, 16 << 20), 120 << 20))
+        ),
+        interpret=interpret,
+    )
+
+
+def _pad_n(b, TN):
+    import jax.numpy as jnp
+
+    n_orig = b.shape[1]
+    if TN is None:
+        TN = 256 if n_orig % 256 == 0 else 128
+    if n_orig % TN:
+        b = jnp.pad(b, ((0, 0), (0, TN - n_orig % TN)))
+    return b, TN, n_orig
+
+
+def spmm_ragged(
+    step_g, step_first, starts, panels, b,
+    G: int, TM: int, Wc: int,
+    TN: int | None = None, compute_dtype=None, precision=None,
+    interpret: bool = False,
+):
+    """C (G*TM, n) = ragged-packed A @ B; B rows >= max(starts) + Wc."""
+    import jax
+    import jax.numpy as jnp
+
+    compute_dtype = compute_dtype or panels.dtype
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if np.dtype(compute_dtype) == np.float32
+            else jax.lax.Precision.DEFAULT
+        )
+    b, TN, n_orig = _pad_n(b, TN)
+    n = b.shape[1]
+    S = panels.shape[0]
+    acc_dtype = (
+        jnp.float64 if np.dtype(compute_dtype) == np.float64 else jnp.float32
+    )
+    kern = functools.partial(
+        _ragged_kernel,
+        Wc=Wc, TN=TN, NJ=n // TN, S=S, precision=precision,
+        compute_dtype=compute_dtype, acc_dtype=acc_dtype,
+    )
+    fn = _ragged_call(
+        kern, 1, G, TM, Wc, TN, n // TN, S, n, b.dtype, acc_dtype, interpret
+    )
+    out = fn(
+        jnp.asarray(step_g), jnp.asarray(step_first), jnp.asarray(starts),
+        jnp.asarray(panels), b,
+    )
+    return out[:, :n_orig] if n != n_orig else out
+
+
+def spmm_ragged_presplit(
+    step_g, step_first, starts, ah, al, b,
+    G: int, TM: int, Wc: int, TN: int | None = None,
+    interpret: bool = False,
+):
+    """x3 ragged SpMM with pack-time bf16 hi/lo A panels; returns fp32."""
+    import jax.numpy as jnp
+
+    b, TN, n_orig = _pad_n(b, TN)
+    n = b.shape[1]
+    S = ah.shape[0]
+    kern = functools.partial(
+        _ragged_kernel_presplit, Wc=Wc, TN=TN, NJ=n // TN, S=S,
+    )
+    fn = _ragged_call(
+        kern, 2, G, TM, Wc, TN, n // TN, S, n, b.dtype, jnp.float32, interpret
+    )
+    out = fn(
+        jnp.asarray(step_g), jnp.asarray(step_first), jnp.asarray(starts),
+        ah, al, b,
+    )
+    return out[:, :n_orig] if n != n_orig else out
+
+
+def spmm_ragged_bf16(
+    step_g, step_first, starts, ah, bh,
+    G: int, TM: int, Wc: int, TN: int | None = None,
+    interpret: bool = False,
+):
+    """1-pass bf16 ragged SpMM (bh must be bf16); returns fp32."""
+    import jax.numpy as jnp
+
+    bh, TN, n_orig = _pad_n(bh, TN)
+    n = bh.shape[1]
+    S = ah.shape[0]
+    kern = functools.partial(
+        _ragged_kernel_bf16, Wc=Wc, TN=TN, NJ=n // TN, S=S,
+    )
+    fn = _ragged_call(
+        kern, 1, G, TM, Wc, TN, n // TN, S, n, bh.dtype, jnp.float32,
+        interpret,
+    )
+    out = fn(
+        jnp.asarray(step_g), jnp.asarray(step_first), jnp.asarray(starts),
+        ah, bh,
+    )
+    return out[:, :n_orig] if n != n_orig else out
+
+
+# ---------------------------------------------------------------------- spill
+
+
+def pack_spill(
+    spill: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    nnz_pad: int,
+    nrow: int,
+    dtype,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad spill COO to a static size; pad rows = ``nrow`` (dropped by the
+    out-of-bounds scatter)."""
+    rows = np.full(nnz_pad, nrow, dtype=np.int32)
+    cols = np.zeros(nnz_pad, dtype=np.int32)
+    vals = np.zeros(nnz_pad, dtype=dtype)
+    if spill is not None:
+        r, c, v = spill
+        rows[: len(r)] = r
+        cols[: len(r)] = c
+        vals[: len(r)] = v.astype(dtype)
+    return rows, cols, vals
+
+
+def spmm_spill_chunked(rows, cols, vals, b, nrow: int, chunk: int = 1 << 18):
+    """Memory-bounded VPU path for spilled nonzeros.
+
+    Scans nnz in fixed chunks: gather (Q, n) rows of B, scale, scatter-add
+    into the carried C — peak memory O(chunk * n) instead of the segsum
+    path's O(nnz * n).  Out-of-range pad rows are dropped by the scatter.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = b.shape[1]
+    nnz = rows.shape[0]
+    init = jnp.zeros((nrow, n), dtype=b.dtype)
+    if nnz == 0:
+        return init
+    if nnz <= chunk:
+        contrib = vals[:, None].astype(b.dtype) * jnp.take(
+            b, cols, axis=0, fill_value=0
+        )
+        return init.at[rows].add(contrib, mode="drop")
+
+    Q = chunk
+    nchunks = -(-nnz // Q)
+    pad = nchunks * Q - nnz
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full(pad, nrow, rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros(pad, cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros(pad, vals.dtype)])
+
+    def body(c, sl):
+        r, cl, v = sl
+        contrib = v[:, None].astype(b.dtype) * jnp.take(
+            b, cl, axis=0, fill_value=0
+        )
+        return c.at[r].add(contrib, mode="drop"), None
+
+    c, _ = jax.lax.scan(
+        body, init,
+        (rows.reshape(nchunks, Q), cols.reshape(nchunks, Q),
+         vals.reshape(nchunks, Q)),
+    )
+    return c

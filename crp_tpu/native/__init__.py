@@ -79,6 +79,16 @@ def _load():
     lib.crp_ggp_partition.argtypes = [
         i64, p_i64, p_i32, i64, ctypes.c_double, p_i32,
     ]
+    lib.crp_ragged_cover.restype = i64
+    lib.crp_ragged_cover.argtypes = [
+        i64, p_i64, p_i32, i64, i64, i64, i64, i64, i64, p_i32, p_i64,
+        ctypes.POINTER(i64),
+    ]
+    lib.crp_ragged_fill_f32.restype = i64
+    lib.crp_ragged_fill_f32.argtypes = [
+        i64, p_i64, p_i32, p_f32, i64, i64, i64, i64, p_i32, p_i64,
+        p_f32, p_i32, p_i32, p_f32,
+    ]
     _lib = lib
     AVAILABLE = True
     return _lib
@@ -138,6 +148,64 @@ def pack_window_flat_f32(nrow, rowptr, colidx, val, TM, TK, max_window, G, W):
     if w0 < 0:
         return None
     return ws, panels, int(w0)
+
+
+def ragged_cover(rowptr, colidx, TM, TK, Wc, min_chunk_nnz, G):
+    """Native ragged interval cover; returns (starts, group_ptr, spill_nnz)
+    or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    nrow = len(rowptr) - 1
+    nnz = int(rowptr[-1]) - int(rowptr[0])
+    cap = nnz // max(int(min_chunk_nnz), 1) + int(G) + 1
+    starts = np.zeros(cap, dtype=np.int32)
+    group_ptr = np.zeros(int(G) + 1, dtype=np.int64)
+    spill = ctypes.c_int64()
+    S = lib.crp_ragged_cover(
+        int(nrow),
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(colidx, dtype=np.int32),
+        int(TM), int(TK), int(Wc), int(min_chunk_nnz), int(G),
+        cap, starts, group_ptr, ctypes.byref(spill),
+    )
+    if S < 0:
+        return None
+    return starts[:S].copy(), group_ptr, int(spill.value)
+
+
+def ragged_fill_f32(rowptr, colidx, val, TM, TK, Wc, G, starts, group_ptr,
+                    spill_nnz):
+    """Native ragged densify; returns (panels, sp_rows, sp_cols, sp_vals)
+    or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    nrow = len(rowptr) - 1
+    S = len(starts)
+    panels = np.zeros((S, int(TM), int(Wc)), dtype=np.float32)
+    sp_rows = np.zeros(max(spill_nnz, 1), dtype=np.int32)
+    sp_cols = np.zeros(max(spill_nnz, 1), dtype=np.int32)
+    sp_vals = np.zeros(max(spill_nnz, 1), dtype=np.float32)
+    got = lib.crp_ragged_fill_f32(
+        int(nrow),
+        np.ascontiguousarray(rowptr, dtype=np.int64),
+        np.ascontiguousarray(colidx, dtype=np.int32),
+        np.ascontiguousarray(val, dtype=np.float32),
+        int(TM), int(TK), int(Wc), int(G),
+        np.ascontiguousarray(starts, dtype=np.int32),
+        np.ascontiguousarray(group_ptr, dtype=np.int64),
+        panels, sp_rows, sp_cols, sp_vals,
+    )
+    # the cover's spill count is an upper bound: nnz of dropped chunks that
+    # fall inside another kept/dummy chunk's range are absorbed into panels
+    if got < 0 or got > spill_nnz:
+        logger.warning(
+            "native ragged fill spill out of range (%d / cap %d); "
+            "using numpy", got, spill_nnz,
+        )
+        return None
+    return panels, sp_rows[:got], sp_cols[:got], sp_vals[:got]
 
 
 def ggp_partition(rowptr, colidx, nparts, imbalance=1.05):

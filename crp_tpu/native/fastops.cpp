@@ -133,6 +133,106 @@ int64_t crp_pack_window_flat_f32(
     return W0;
 }
 
+// Ragged gathered-window cover (kernels/spmm_ragged.py): greedy fixed-width
+// TK-aligned interval cover of each TM-row group's nonzero columns; chunks
+// with fewer than min_chunk_nnz nonzeros are dropped (their nnz spill to
+// the VPU path).  Every group keeps >= 1 chunk (an all-zero dummy when
+// everything spilled) so its output block is always initialized.
+// Returns total kept chunks S (group_ptr gets G+1 entries, starts gets S)
+// or -1 when starts_cap is too small.
+int64_t crp_ragged_cover(
+    int64_t nrow, const int64_t* rowptr, const int32_t* colidx,
+    int64_t TM, int64_t TKr, int64_t Wc, int64_t min_chunk_nnz, int64_t G,
+    int64_t starts_cap, int32_t* starts, int64_t* group_ptr,
+    int64_t* spill_nnz_out)
+{
+    std::vector<std::vector<int32_t>> kept((size_t)G);
+    std::vector<int64_t> spills((size_t)G, 0);
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t g = 0; g < G; g++) {
+        int64_t r0 = std::min(g * TM, nrow), r1 = std::min((g + 1) * TM, nrow);
+        int64_t j0 = rowptr[r0], j1 = rowptr[r1];
+        if (j1 <= j0) { kept[g].push_back(0); continue; }
+        // sorted WITH duplicates: cover starts are unchanged and chunk nnz
+        // counts fall out of the walk directly
+        std::vector<int32_t> cols(colidx + j0, colidx + j1);
+        std::sort(cols.begin(), cols.end());
+        size_t i = 0;
+        while (i < cols.size()) {
+            int32_t s = (cols[i] / (int32_t)TKr) * (int32_t)TKr;
+            size_t e = i;
+            while (e < cols.size() && (int64_t)cols[e] < (int64_t)s + Wc) e++;
+            if ((int64_t)(e - i) >= min_chunk_nnz) kept[g].push_back(s);
+            else spills[g] += (int64_t)(e - i);
+            i = e;
+        }
+        if (kept[g].empty()) kept[g].push_back(0);
+    }
+    int64_t S = 0, spill = 0;
+    group_ptr[0] = 0;
+    for (int64_t g = 0; g < G; g++) {
+        S += (int64_t)kept[g].size();
+        spill += spills[g];
+        group_ptr[g + 1] = S;
+    }
+    if (S > starts_cap) return -1;
+    for (int64_t g = 0; g < G; g++)
+        std::copy(kept[g].begin(), kept[g].end(), starts + group_ptr[g]);
+    *spill_nnz_out = spill;
+    return S;
+}
+
+// Fill phase for the ragged cover: densify kept-chunk nnz into
+// panels[S*TM*Wc] (zero-initialized by the caller) and write spilled nnz
+// as COO (rows relative to the shard, capacity = cover's spill count).
+// Returns the spilled count.
+int64_t crp_ragged_fill_f32(
+    int64_t nrow, const int64_t* rowptr, const int32_t* colidx,
+    const float* val, int64_t TM, int64_t TKr, int64_t Wc, int64_t G,
+    const int32_t* starts, const int64_t* group_ptr,
+    float* panels, int32_t* sp_rows, int32_t* sp_cols, float* sp_vals)
+{
+    (void)TKr;
+    std::vector<int64_t> sp_off((size_t)G + 1, 0);
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t g = 0; g < G; g++) {
+        int64_t r0 = std::min(g * TM, nrow), r1 = std::min((g + 1) * TM, nrow);
+        const int32_t* c0 = starts + group_ptr[g];
+        const int32_t* c1 = starts + group_ptr[g + 1];
+        int64_t cnt = 0;
+        for (int64_t j = rowptr[r0]; j < rowptr[r1]; j++) {
+            int32_t col = colidx[j];
+            const int32_t* it = std::upper_bound(c0, c1, col);
+            if (it == c0 || (int64_t)col >= (int64_t)*(it - 1) + Wc) cnt++;
+        }
+        sp_off[g + 1] = cnt;
+    }
+    for (int64_t g = 0; g < G; g++) sp_off[g + 1] += sp_off[g];
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t g = 0; g < G; g++) {
+        int64_t r0 = std::min(g * TM, nrow), r1 = std::min((g + 1) * TM, nrow);
+        const int32_t* c0 = starts + group_ptr[g];
+        const int32_t* c1 = starts + group_ptr[g + 1];
+        int64_t sp = sp_off[g];
+        for (int64_t r = r0; r < r1; r++) {
+            for (int64_t j = rowptr[r]; j < rowptr[r + 1]; j++) {
+                int32_t col = colidx[j];
+                const int32_t* it = std::upper_bound(c0, c1, col);
+                if (it == c0 || (int64_t)col >= (int64_t)*(it - 1) + Wc) {
+                    sp_rows[sp] = (int32_t)r;
+                    sp_cols[sp] = col;
+                    sp_vals[sp] = val[j];
+                    sp++;
+                    continue;
+                }
+                int64_t ch = (it - 1) - starts;  // global chunk index
+                panels[(ch * TM + (r - r0)) * Wc + (col - *(it - 1))] += val[j];
+            }
+        }
+    }
+    return sp_off[G];
+}
+
 // Matrix Market coordinate parser.  Two-phase: stat then read.
 // field: 0 real/double, 1 integer, 2 pattern.  symm: 0 general, 1 symmetric.
 int crp_mtx_stat(const char* path, int64_t* nrow, int64_t* ncol,

@@ -56,7 +56,8 @@ def test_engine_records_resolved_kind(devices8):
     assert eng_p.kernel_kind == "pallas"
     assert rel_fro_err(a.spmm_ref(b), eng_p.exec(b)) <= 1e-12
 
-    # a row spanning a window wider than the 16384-row cap -> fallback
+    # a row spanning a window wider than the 16384-row uniform cap now
+    # routes to the ragged gathered-window pack instead of falling back
     from crp_tpu.sparse.csr import CSRMatrix
 
     k = 20000
@@ -66,4 +67,17 @@ def test_engine_records_resolved_kind(devices8):
     hub = CSRMatrix.from_coo(256, k, rows, cols, np.ones(512))
     # rb_reidx=0 keeps raw column coordinates, so the window spans all of k
     eng_f = _engine(hub, 2, "pallas", devices8, rb_reidx=0)
-    assert eng_f.kernel_kind == "segsum"
+    assert eng_f.kernel_kind == "pallas"
+    assert getattr(eng_f._local_fn, "variant", None) == "ragged"
+    bh = np.asarray(fill_b(0, hub.ncol, 0, 8))
+    assert rel_fro_err(hub.spmm_ref(bh), eng_f.exec(bh)) <= 1e-12
+
+    # fully unstructured scatter (every chunk under the keep threshold):
+    # the ragged cover refuses too and the engine falls back to segsum
+    rng = np.random.default_rng(61)
+    nr = 256
+    rows = np.arange(nr, dtype=np.int64).repeat(4)
+    cols = rng.integers(0, k, size=4 * nr)
+    rnd = CSRMatrix.from_coo(nr, k, rows, cols, np.ones(len(rows)))
+    eng_r = _engine(rnd, 2, "pallas", devices8, rb_reidx=0)
+    assert eng_r.kernel_kind == "segsum"

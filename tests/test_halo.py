@@ -79,9 +79,11 @@ def test_halo_para2d_grid(devices8):
 
 
 def test_kernel_fallbacks_on_unsupported_sparsity(devices8):
-    """Documented behavior: pallas/pallas_halo reject unsupported sparsity
-    at pack time and the engines fall back (halo -> pallas -> segsum).
-    A hub row spanning 20000 columns blows the max_window cap for both."""
+    """Documented behavior: pallas_halo rejects unsupported sparsity at
+    pack time and the engine walks the fallback chain (halo -> pallas).
+    A hub row spanning 20000 columns blows the uniform max_window cap for
+    both, but the pallas seam now routes it to the ragged gathered-window
+    pack; a fully unstructured scatter defeats ragged too -> segsum."""
     from crp_tpu.sparse.csr import CSRMatrix
 
     nrow = ncol = 20000
@@ -98,5 +100,20 @@ def test_kernel_fallbacks_on_unsupported_sparsity(devices8):
                           mesh=make_mesh_1d(4, devices=devices8),
                           config=SpmmConfig(kernel=kernel))
         assert not eng.is_halo                           # halo rejected
-        assert not hasattr(eng._local_fn, "min_b_rows")  # pallas rejected too
+        assert getattr(eng._local_fn, "variant", None) == "ragged"
         assert rel_fro_err(hub.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+    rng = np.random.default_rng(62)
+    rows = np.arange(512, dtype=np.int64).repeat(3)
+    cols = rng.integers(0, ncol, size=len(rows))
+    rnd = CSRMatrix.from_coo(512, ncol, rows, cols, np.ones(len(rows)))
+    # rb_reidx=0 keeps raw column coordinates (reidx compaction would
+    # legitimately turn the scatter into a narrow uniform window)
+    eng = RowParaSpmm(rnd, csr_row_partition(rnd.rowptr, 4),
+                      np.linspace(0, ncol, 5).astype(np.int64), 8,
+                      mesh=make_mesh_1d(4, devices=devices8),
+                      config=SpmmConfig(kernel="pallas_halo", rb_reidx=0))
+    assert not eng.is_halo
+    assert not hasattr(eng._local_fn, "min_b_rows")  # ragged rejected too
+    assert eng.kernel_kind == "segsum"
+    assert rel_fro_err(rnd.spmm_ref(b), eng.exec(b)) <= 1e-12
