@@ -165,6 +165,21 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
             if (config.overlap or config.rb_p2p) else eng.xplan.physical_rows,
         )
     rec["init_s"] = round(eng.t_init, 4)
+    rec["kernel_resolved"] = eng.kernel_kind
+    lf = getattr(eng, "_local_fn", None)
+    rl = getattr(lf, "roofline", None)
+    if rl is not None:
+        # panel-vs-CSR storage accounting (the uniform windowed kernel's
+        # densification factor is the single-chip reach limiter; ragged's
+        # is the point of comparison)
+        rec["kernel_detail"] = dict(
+            variant=getattr(lf, "variant", "uniform"),
+            a_panel_bytes=int(rl["a_bytes"]),
+            csr_bytes=int(
+                a.nnz * (4 + np.dtype(dtype).itemsize) + (a.nrow + 1) * 8
+            ),
+            **{k: rl[k] for k in ("mxu_frac", "S", "spill_nnz") if k in rl},
+        )
 
     b = np.asarray(
         fill_b(0, a.ncol, 0, n,

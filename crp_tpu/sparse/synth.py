@@ -65,6 +65,55 @@ def powerlaw_random_csr(
     return CSRMatrix.from_coo(n, n, rows, cols, vals, dtype=dtype)
 
 
+def powerlaw_community_csr(
+    n: int,
+    avg_degree: int = 16,
+    comm_size: int = 1024,
+    p_local: float = 0.85,
+    alpha: float = 2.1,
+    seed: int = 1234,
+    permute: bool = False,
+    dtype=np.float64,
+) -> CSRMatrix:
+    """Community-structured power-law graph ~ social/co-purchase class.
+
+    Degrees are power-law (zipf ``alpha``, scaled to ``avg_degree``);
+    ``p_local`` of each vertex's edges land inside its own contiguous
+    ``comm_size`` community block, the rest go to globally degree-weighted
+    targets (hubs).  With ``permute=False`` vertex ids are already
+    community-contiguous — the view a locality reordering (METIS /
+    ``sparse.reorder``) produces on a real graph, which is how the
+    reference benches its social-network inputs too
+    (``deprecated/SC23_AD/readme.md:15-28`` + ``metis_mat_part.c``).
+    ``permute=True`` scrambles ids for end-to-end reorder pipeline tests.
+    """
+    rng = np.random.default_rng(seed)
+    deg = rng.zipf(alpha, size=n).astype(np.int64)
+    deg = np.minimum(deg, n // 2)
+    deg = np.maximum((deg * avg_degree) // max(int(deg.mean()), 1), 1)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    m = len(rows)
+    local = rng.random(m) < p_local
+    cols = np.empty(m, dtype=np.int64)
+    # local: uniform within the source's community block
+    comm_lo = (rows // comm_size) * comm_size
+    width = np.minimum(comm_lo + comm_size, n) - comm_lo
+    cols[local] = comm_lo[local] + rng.integers(0, width[local])
+    # global: degree-weighted (preferential) — this is what makes hub
+    # columns, the other structure the ragged cover exploits
+    cum = np.cumsum(deg)
+    u = rng.integers(0, cum[-1], size=(~local).sum())
+    cols[~local] = np.searchsorted(cum, u, side="right")
+    if permute:
+        perm = rng.permutation(n)
+        rows, cols = perm[rows], perm[cols]
+    key = rows * n + cols
+    _, uniq_idx = np.unique(key, return_index=True)
+    rows, cols = rows[uniq_idx], cols[uniq_idx]
+    vals = rng.standard_normal(rows.shape[0]).astype(dtype)
+    return CSRMatrix.from_coo(n, n, rows, cols, vals, dtype=dtype)
+
+
 def fill_b(
     srow: int, nrow: int, scol: int, ncol: int,
     factor_i: float = 0.19, factor_j: float = 0.24, dtype=np.float64,
