@@ -98,15 +98,12 @@ class CrpSpmm:
         from ..kernels.dispatch import resolve_auto_kernel
 
         self.overlap = bool(self.config.overlap)
+        fine = bool(self.config.a2a_b_finegrain)
+        self.fine = fine
         kind = self.config.kernel
         if kind == "auto":
             kind = resolve_auto_kernel(
-                self.dtype, pm, overlap=self.overlap, allow_halo=False
-            )
-        if kind == "pallas_halo":
-            raise ValueError(
-                "pallas_halo fuses the 1D/2D engines' ownership exchange; "
-                "the any-layout engine supports segsum/ell/pallas/dd"
+                self.dtype, pm, overlap=self.overlap, allow_halo=not fine
             )
         self.is_dd = kind == "dd"
         if self.is_dd and self.overlap:
@@ -114,22 +111,28 @@ class CrpSpmm:
                 "kernel='dd' is incompatible with overlap=1: the per-shift "
                 "partial SpMM is plain fp32 and would lose the dd accuracy"
             )
+        self.is_halo = kind == "pallas_halo"
+        if self.is_halo and self.overlap:
+            raise ValueError(
+                "kernel='pallas_halo' fuses exchange and compute already; "
+                "overlap=1 has no meaning for it"
+            )
+        if self.is_halo and fine:
+            raise ValueError(
+                "kernel='pallas_halo' implements the coarse contiguous-"
+                "window geometry (crpspmm.c:294-338); A2A_B_FINEGRAIN=1 "
+                "requests exact-row exchange — use kernel='pallas'"
+            )
 
-        # internal layouts
+        # internal layouts.  The fused halo kernel owns the internal B row
+        # partition (TK-aligned slab boundaries) — decide BEFORE the
+        # boundaries are frozen into the rd_B redistribution tables, which
+        # needs the A row panels first.
         rd_rows = bp.B_rd_row_displs          # (pm+1,) uniform k slabs
         bc_cols = bp.BC_colptr                # (pn+1,) uniform n slabs
-        internal_B = BlockDist.from_grid(rd_rows, bc_cols)
         m_idx = bp.m_split_idx
-        internal_C = BlockDist.from_grid(m_idx, bc_cols)
 
-        # 2. rd_B, 5. rd_C.  Under dd, B/C travel as fp32 hi/lo halves and
-        # each redistribution runs twice per exec (one per half) — the
-        # logical element counts in the audit are unchanged.
-        rd_dtype = np.float32 if self.is_dd else self.dtype
-        self.rd_B = RedistEngine(user_B, internal_B, self.mesh, dtype=rd_dtype)
-        self.rd_C = RedistEngine(internal_C, user_C, self.mesh, dtype=rd_dtype)
-
-        # 3. B-row exchange along pm within each column group.
+        # A row panels (step 3's A side, hoisted: the halo plan packs them).
         # Host-global A: panels sliced host-side, replicated by placement.
         # Distributed A: the real device path — rd_Ai/rd_Av nnz reshard +
         # all_gather along pn (crpspmm.c:240-265,559-584).
@@ -146,8 +149,37 @@ class CrpSpmm:
             panel_nnz0 = np.array([pl_.nnz for pl_ in panels], dtype=np.int64)
             self.nelem_A_agv = 0 if pn == 1 else int(panel_nnz0.sum() * pn)
         self.max_m = max(max(pl_.nrow for pl_ in panels), 1)
-        fine = bool(self.config.a2a_b_finegrain)
-        self.fine = fine
+
+        from ..kernels.spmm_pallas import UnsupportedSparsity
+
+        if self.is_halo:
+            import logging
+
+            from ..kernels.spmm_halo import align_displs, build_halo_plan
+
+            aligned = align_displs(rd_rows, self.k)
+            try:
+                self.hplan = build_halo_plan(panels, aligned, dtype=self.dtype)
+                rd_rows = aligned
+            except UnsupportedSparsity as e:
+                logging.getLogger("crp_tpu").warning(
+                    "pallas_halo unavailable (%s); falling back to the "
+                    "unfused pallas path", e,
+                )
+                self.is_halo = False
+                kind = "pallas"
+
+        internal_B = BlockDist.from_grid(rd_rows, bc_cols)
+        internal_C = BlockDist.from_grid(m_idx, bc_cols)
+
+        # 2. rd_B, 5. rd_C.  Under dd, B/C travel as fp32 hi/lo halves and
+        # each redistribution runs twice per exec (one per half) — the
+        # logical element counts in the audit are unchanged.
+        rd_dtype = np.float32 if self.is_dd else self.dtype
+        self.rd_B = RedistEngine(user_B, internal_B, self.mesh, dtype=rd_dtype)
+        self.rd_C = RedistEngine(internal_C, user_C, self.mesh, dtype=rd_dtype)
+
+        # 3. B-row exchange along pm within each column group.
         if fine:
             row_lists = [pl_.colidx for pl_ in panels]
         else:
@@ -158,8 +190,6 @@ class CrpSpmm:
             ]
         self.xplan = build_b_exchange(row_lists, rd_rows, reidx=fine)
 
-        from ..kernels.spmm_pallas import UnsupportedSparsity
-
         self.max_k = int(max(np.diff(rd_rows).max(), 1))
         self.max_nloc = int(max(np.diff(bc_cols).max(), 1))
 
@@ -168,7 +198,27 @@ class CrpSpmm:
                 x, NamedSharding(self.mesh, P("pm", *([None] * (x.ndim - 1))))
             )
 
-        if self.overlap:
+        if self.is_halo:
+            hp = self.hplan
+            self.kernel_kind = "pallas_halo"
+            # self.max_m stays the rd_C internal block height; the kernel's
+            # G*TM >= max_m output is trimmed in the shard_map body
+            self._tn = 256 if self.max_nloc % 256 == 0 else 128
+            self._n_pad = -(-self.max_nloc // self._tn) * self._tn
+            self._halo_arrays = (
+                hp.ws_rel, hp.push_src, hp.push_dev, hp.push_dst,
+                hp.npush, hp.exp_from, hp.wait_bound,
+            )
+            self.d_halo = tuple(put_pm(x) for x in self._halo_arrays)
+            self.d_panels = put_pm(hp.a_panels)
+            bspec = NamedSharding(self.mesh, P("pm", "pn", None, None))
+            self.d_buf = jax.device_put(
+                np.zeros(
+                    (pm, pn, hp.buf_rows, self._n_pad), self.dtype
+                ),
+                bspec,
+            )
+        elif self.overlap:
             from ..comm.ring import build_ring_spmm
 
             self.ring = build_ring_spmm(
@@ -226,7 +276,7 @@ class CrpSpmm:
             self.d_self_dst = put_pm(self.xplan.self_dst)
 
         self._spmm_jit = self._make_spmm()
-        if not self.overlap:
+        if not (self.overlap or self.is_halo):
             self._xch_jit, self._spmm_only_jit = self._make_staged()
 
         # ------- audit (crpspmm.c:448-456, 587-600); A counters set above
@@ -251,10 +301,57 @@ class CrpSpmm:
         )
 
     def _make_spmm(self):
-        nk = len(self.d_kernel)
-        max_m = self.max_m
         pmspec = P("pm", None)
         bspec = P("pm", "pn", None, None)
+        max_m = self.max_m
+
+        if self.is_halo:
+            import jax.numpy as jnp
+
+            from ..kernels.spmm_halo import halo_spmm_local
+
+            hp = self.hplan
+            interpret = jax.default_backend() != "tpu"
+            pad_r = hp.max_k - self.max_k
+            pad_c = self._n_pad - self.max_nloc
+            max_nloc = self.max_nloc
+            kw = dict(
+                p=self.pm, pn_size=self.pn, TM=hp.TM, G=hp.G, W=hp.W,
+                Wc=hp.Wc, C_panel=hp.C_panel, TN=self._tn,
+                interpret=interpret,
+                precision=(
+                    jax.lax.Precision.DEFAULT
+                    if self.config.mxu_precision == "default"
+                    else self.config.mxu_precision
+                    if self.config.mxu_precision == "x3"
+                    else None
+                ),
+            )
+
+            def local(*args):
+                plan_arrays = tuple(x[0] for x in args[:7])
+                panels_, b_loc, buf = args[7][0], args[8][0, 0], args[9][0, 0]
+                bl = (
+                    jnp.pad(b_loc, ((0, pad_r), (0, pad_c)))
+                    if (pad_r or pad_c) else b_loc
+                )
+                out, buf2 = halo_spmm_local(
+                    (plan_arrays[0], panels_) + plan_arrays[1:], bl, buf, **kw
+                )
+                out = out[:max_m, :max_nloc].astype(b_loc.dtype)
+                return out[None, None], buf2[None, None]
+
+            in_specs = tuple(
+                P("pm", *([None] * (x.ndim - 1)))
+                for x in self._halo_arrays
+            ) + (P("pm", None, None, None), bspec, bspec)
+            fn = jax.shard_map(
+                local, mesh=self.mesh, in_specs=in_specs,
+                out_specs=(bspec, bspec), check_vma=False,
+            )
+            return jax.jit(fn, donate_argnums=(9,))
+
+        nk = len(self.d_kernel)
 
         if self.overlap:
             import jax.numpy as jnp
@@ -347,6 +444,11 @@ class CrpSpmm:
 
     # ------------------------------------------------------------------ exec
     def _spmm_fused(self, b4: jax.Array) -> jax.Array:
+        if self.is_halo:
+            c4, self.d_buf = self._spmm_jit(
+                *self.d_halo, self.d_panels, b4, self.d_buf
+            )
+            return c4
         if self.overlap:
             return self._spmm_jit(
                 *self.d_kernel, *self.d_step, self.d_send_idx, b4
@@ -413,8 +515,8 @@ class CrpSpmm:
                     b_int.block_until_ready()
                 b4 = b_int.reshape(self.pm, self.pn, self.max_k, self.max_nloc)
 
-            if self.overlap:
-                with t.phase("exec_nr"):  # exchange fused into the ring
+            if self.overlap or self.is_halo:
+                with t.phase("exec_nr"):  # exchange fused into ring/kernel
                     c4 = self._spmm_fused(b4)
                     with t.phase("spmm", fence=c4):
                         pass

@@ -169,3 +169,56 @@ def test_crp_overlap_pallas_kernel(devices8):
     assert eng.overlap
     b = np.asarray(fill_b(0, a.ncol, 0, n))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_crp_pallas_halo(devices8):
+    """Fused halo kernel inside the any-layout engine (crpspmm.c:294-396
+    coarse geometry), including a 2D pm x pn grid where pushes address
+    pm-peers across the flattened mesh."""
+    a = banded_random_csr(3000, nnz_per_row=9, bandwidth=150, seed=47)
+    n = 48
+    for p, force_grid in ((4, None), (6, (3, 2))):
+        user_B = BlockDist.from_row_slabs(uniform_displs(a.ncol, p), n)
+        user_C = BlockDist.from_row_slabs(uniform_displs(a.nrow, p), n)
+        kw = {}
+        if force_grid is not None:
+            from crp_tpu.plan.bandwidth import calc_bandwidth_part2d
+
+            bp = calc_bandwidth_part2d(
+                p, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges_v1()
+            )
+            bp.np_row, bp.np_col = force_grid
+            kw = dict(bplan=bp, mesh=make_mesh_2d(*force_grid,
+                                                  devices=devices8))
+        eng = CrpSpmm(a, n, user_B, user_C, nproc=p,
+                      config=SpmmConfig(kernel="pallas_halo"), **kw)
+        assert eng.is_halo and eng.kernel_kind == "pallas_halo"
+        b = np.asarray(fill_b(0, a.ncol, 0, n))
+        # two execs: the persistent window buffer threads across execs
+        assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+        assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_crp_halo_rejects_finegrain(devices8):
+    a = banded_random_csr(500, nnz_per_row=5, bandwidth=40, seed=48)
+    user_B = BlockDist.from_row_slabs(uniform_displs(a.ncol, 4), 8)
+    user_C = BlockDist.from_row_slabs(uniform_displs(a.nrow, 4), 8)
+    with pytest.raises(ValueError, match="FINEGRAIN"):
+        CrpSpmm(a, 8, user_B, user_C, nproc=4,
+                config=SpmmConfig(kernel="pallas_halo", a2a_b_finegrain=1))
+
+
+def test_crp_halo_falls_back_on_unsupported(devices8):
+    """Plaw matrix: build_halo_plan raises, engine lands on the unfused
+    pallas seam (which may itself resolve to ragged/segsum) and stays
+    correct."""
+    # columns span > max_window rows so the uniform halo window pack raises
+    a = powerlaw_random_csr(20000, avg_degree=4, seed=49)
+    n = 8
+    user_B = BlockDist.from_row_slabs(uniform_displs(a.ncol, 4), n)
+    user_C = BlockDist.from_row_slabs(uniform_displs(a.nrow, 4), n)
+    eng = CrpSpmm(a, n, user_B, user_C, nproc=4,
+                  config=SpmmConfig(kernel="pallas_halo"))
+    assert not eng.is_halo
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
