@@ -92,6 +92,8 @@ def main():
         "value": round(t, 5),
         "unit": "s",
         "vs_baseline": round(REFERENCE_SECONDS / t, 2),
+        "init_s": round(eng.t_init, 2),
+        "init_breakdown": getattr(eng, "init_breakdown", None),
     }
 
     # ---- roofline audit (windowed-kernel packs expose their geometry)
@@ -101,7 +103,10 @@ def main():
         nj = -(-n // tn)
         n_pad = nj * tn
         passes = {"x3": 3, "highest": 6, "default": 1}.get(prec, 1)
-        dense_flops = 2.0 * rl["G"] * rl["TM"] * rl["W"] * n_pad
+        # ragged packs expose S chunks of (TM, Wc); uniform packs G of
+        # (TM, W) — same formula with chunks = S or G
+        chunks = rl.get("S", rl["G"])
+        dense_flops = 2.0 * chunks * rl["TM"] * rl["W"] * n_pad
         mxu_flops = dense_flops * passes
         a_bytes = rl["a_bytes"] * nj       # A panels re-stream per N tile
         b_bytes = rl["b_rows_read"] * n_pad * rl["b_itemsize"]

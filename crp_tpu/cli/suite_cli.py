@@ -165,6 +165,8 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
             if (config.overlap or config.rb_p2p) else eng.xplan.physical_rows,
         )
     rec["init_s"] = round(eng.t_init, 4)
+    if getattr(eng, "init_breakdown", None):
+        rec["init_breakdown"] = eng.init_breakdown
     rec["kernel_resolved"] = eng.kernel_kind
     lf = getattr(eng, "_local_fn", None)
     rl = getattr(lf, "roofline", None)

@@ -65,32 +65,44 @@ class RowParaSpmm:
         self.timer = Timer()
 
         t0 = Timer()
+        self._t_build = Timer()
         with t0.phase("init"):
             self._build(a)
         self.t_init = t0.t["init"]
+        # plan/pack/upload split of init (the reference reports one init
+        # number, src/rowpara_spmm.c:425; on TPU the pack + relay upload
+        # dominate and deserve their own rows)
+        tb = self._t_build
+        self.init_breakdown = {
+            k: round(tb.t.get(k, 0.0), 4) for k in ("plan", "pack", "upload")
+        }
 
     # ------------------------------------------------------------------ init
     def _build(self, a) -> None:
         p = self.p
-        shards = [
-            a.row_slice(int(self.A_row_displs[i]), int(self.A_row_displs[i + 1]))
-            for i in range(p)
-        ]
-        self.max_m = max(max(s.nrow for s in shards), 1)
+        tb = self._t_build
+        with tb.phase("plan"):
+            shards = [
+                a.row_slice(
+                    int(self.A_row_displs[i]), int(self.A_row_displs[i + 1])
+                )
+                for i in range(p)
+            ]
+            self.max_m = max(max(s.nrow for s in shards), 1)
 
-        # B ownership must cover every column of A; nnz-balanced row blocks
-        # exclude trailing empty rows (reference csr_mat_row_partition
-        # semantics), so extend the last boundary when drivers reuse them
-        # as B displs on square matrices
-        if int(self.B_row_displs[-1]) < a.ncol:
-            self.B_row_displs = self.B_row_displs.copy()
-            self.B_row_displs[-1] = a.ncol
+            # B ownership must cover every column of A; nnz-balanced row
+            # blocks exclude trailing empty rows (reference
+            # csr_mat_row_partition semantics), so extend the last boundary
+            # when drivers reuse them as B displs on square matrices
+            if int(self.B_row_displs[-1]) < a.ncol:
+                self.B_row_displs = self.B_row_displs.copy()
+                self.B_row_displs[-1] = a.ncol
 
-        # B exchange plan from each shard's referenced global B rows
-        reidx = bool(self.config.rb_reidx)
-        self.xplan = build_b_exchange(
-            [s.colidx for s in shards], self.B_row_displs, reidx=reidx
-        )
+            # B exchange plan from each shard's referenced global B rows
+            reidx = bool(self.config.rb_reidx)
+            self.xplan = build_b_exchange(
+                [s.colidx for s in shards], self.B_row_displs, reidx=reidx
+            )
         from ..kernels.dispatch import resolve_auto_kernel
 
         kind = self.config.kernel
@@ -127,9 +139,10 @@ class RowParaSpmm:
                 self.B_row_displs, int(self.B_row_displs[-1])
             )
             try:
-                self.hplan = build_halo_plan(
-                    shards, aligned, dtype=self.dtype
-                )
+                with tb.phase("pack"):
+                    self.hplan = build_halo_plan(
+                        shards, aligned, dtype=self.dtype
+                    )
                 self.B_row_displs = aligned
             except UnsupportedSparsity as e:
                 logger.warning(
@@ -146,18 +159,21 @@ class RowParaSpmm:
                 hp.ws_rel, hp.push_src, hp.push_dev, hp.push_dst,
                 hp.npush, hp.exp_from, hp.wait_bound,
             )
-            self.d_halo = tuple(put(x) for x in self._halo_arrays)
-            self.d_panels = put(hp.a_panels)
+            with tb.phase("upload"):
+                self.d_halo = tuple(put(x) for x in self._halo_arrays)
+                self.d_panels = put(hp.a_panels)
+                self.d_panels.block_until_ready()
             self._tn = 256 if self.glb_n % 256 == 0 else 128
             self._n_pad = -(-self.glb_n // self._tn) * self._tn
             self.d_buf = put(
                 np.zeros((self.p, hp.buf_rows, self._n_pad), self.dtype)
             )
         elif self.overlap:
-            self.ring = build_ring_spmm(
-                shards, self.xplan, self.B_row_displs, self.max_m,
-                self.dtype, kind, mxu_precision=self.config.mxu_precision,
-            )
+            with tb.phase("pack"):
+                self.ring = build_ring_spmm(
+                    shards, self.xplan, self.B_row_displs, self.max_m,
+                    self.dtype, kind, mxu_precision=self.config.mxu_precision,
+                )
             self.d_kernel = tuple(put(a) for a in self.ring.self_arrays)
             self._kernel_specs = tuple(
                 P(self.axis, *([None] * (a.ndim - 1)))
@@ -181,29 +197,55 @@ class RowParaSpmm:
                 else:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
-            try:
-                arrays, self._local_fn = pack_local_kernel(
-                    shards_compact, self.max_m, self.dtype, kind,
-                    mxu_precision=self.config.mxu_precision,
-                )
-            except UnsupportedSparsity as e:
-                logger.warning(
-                    "kernel=%r rejected this sparsity (%s); falling back "
-                    "to segsum", kind, e,
-                )
-                kind = "segsum"
-                arrays, self._local_fn = pack_local_kernel(
-                    shards_compact, self.max_m, self.dtype, "segsum"
-                )
-            # the pallas windowed kernel needs rB padded so window DMAs stay
-            # in-bounds; extra rows only ever meet zero A-tile columns
-            self._rb_rows = max(
-                self.xplan.rB_nrow_max,
-                getattr(self._local_fn, "min_b_rows", 1), 1,
+            # memoize the pack + device upload on the matrix object: the
+            # packed arrays depend only on (partition, kernel, precision,
+            # dtype) — an n-sweep or repeated init re-uses them (task: init
+            # is pack+upload-bound at headline scale, r2 vary_n records)
+            cache_key = (
+                "rowpara_pack", kind, self.config.mxu_precision,
+                str(self.dtype), reidx, self.axis,
+                self.A_row_displs.tobytes(), self.B_row_displs.tobytes(),
+                tuple(d.id for d in self.mesh.devices.flat),
             )
-            self.d_kernel = tuple(put(a) for a in arrays)
+            cache = getattr(a, "_pack_cache", None)
+            if cache is None:
+                cache = a._pack_cache = {}
+            if cache_key in cache:
+                kind, self._local_fn, self.d_kernel = cache[cache_key]
+                self._rb_rows = max(
+                    self.xplan.rB_nrow_max,
+                    getattr(self._local_fn, "min_b_rows", 1), 1,
+                )
+            else:
+                try:
+                    with tb.phase("pack"):
+                        arrays, self._local_fn = pack_local_kernel(
+                            shards_compact, self.max_m, self.dtype, kind,
+                            mxu_precision=self.config.mxu_precision,
+                        )
+                except UnsupportedSparsity as e:
+                    logger.warning(
+                        "kernel=%r rejected this sparsity (%s); falling back "
+                        "to segsum", kind, e,
+                    )
+                    kind = "segsum"
+                    with tb.phase("pack"):
+                        arrays, self._local_fn = pack_local_kernel(
+                            shards_compact, self.max_m, self.dtype, "segsum"
+                        )
+                # the pallas windowed kernel needs rB padded so window DMAs
+                # stay in-bounds; extra rows only meet zero A-tile columns
+                self._rb_rows = max(
+                    self.xplan.rB_nrow_max,
+                    getattr(self._local_fn, "min_b_rows", 1), 1,
+                )
+                with tb.phase("upload"):
+                    self.d_kernel = tuple(put(x) for x in arrays)
+                    for x in self.d_kernel:
+                        x.block_until_ready()
+                cache[cache_key] = (kind, self._local_fn, self.d_kernel)
             self._kernel_specs = tuple(
-                P(self.axis, *([None] * (a.ndim - 1))) for a in arrays
+                P(self.axis, *([None] * (x.ndim - 1))) for x in self.d_kernel
             )
             self._identity_exchange = (
                 p == 1

@@ -332,11 +332,9 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
             # measured 0.0069 s vs x3's 0.0128 at the headline shape
             # (bench_results/r2_tpu_presplit_b.jsonl), ~2e-3 relative
             import jax.numpy as jnp
-            import ml_dtypes
+            from .spmm_pallas import np_bf16, spmm_window_pallas_sg_bf16
 
-            from .spmm_pallas import spmm_window_pallas_sg_bf16
-
-            ah = tiles.astype(ml_dtypes.bfloat16)
+            ah = np_bf16(tiles)
 
             def local_fn(arrs, rB):
                 ws_i, ah_i, bases_i = arrs
@@ -357,10 +355,9 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
             # pre-split A into bf16 hi/lo (same bytes as fp32): the per-step
             # VPU conversion of the A chunk disappears from the kernel
             import jax.numpy as jnp
-            import ml_dtypes
+            from .spmm_pallas import np_split_bf16
 
-            ah = tiles.astype(ml_dtypes.bfloat16)
-            al = (tiles - ah.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            ah, al = np_split_bf16(tiles)
 
             def local_fn(arrs, rB):
                 ws_i, ah_i, al_i, bases_i = arrs
@@ -548,9 +545,9 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
 
     if mxu_precision == "default" and is_f32:
         import jax.numpy as jnp
-        import ml_dtypes
+        from .spmm_pallas import np_bf16
 
-        ah = panels.astype(ml_dtypes.bfloat16)
+        ah = np_bf16(panels)
 
         def local_fn(arrs, rB):
             c = spmm_ragged_bf16(
@@ -563,10 +560,9 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         a_bytes = ah.nbytes
         b_itemsize = 2
     elif mxu_precision == "x3" and is_f32:
-        import ml_dtypes
+        from .spmm_pallas import np_split_bf16
 
-        ah = panels.astype(ml_dtypes.bfloat16)
-        al = (panels - ah.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        ah, al = np_split_bf16(panels)
 
         def local_fn(arrs, rB):
             c = spmm_ragged_presplit(

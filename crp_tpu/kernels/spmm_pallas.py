@@ -693,6 +693,59 @@ def spmm_window_pallas_sg_bf16(
     return out[:, :n_orig] if n != n_orig else out
 
 
+_BF16_CHUNK = 1 << 26  # 256 MB fp32 per slice
+
+
+def np_bf16(x: np.ndarray) -> np.ndarray:
+    """Host-side fp32 -> bf16 cast in bounded slices.
+
+    One whole-array ufunc call allocates multi-GB temporaries whose
+    first-touch page faults are pathologically slow on this VM (the r3
+    init profile caught a 3.2 GB panel split at 252 s, >100x the
+    steady-state rate); slicing keeps the working set small and lets the
+    allocator reuse pages."""
+    import ml_dtypes
+
+    from .. import native
+
+    got = native.bf16_cast(x)
+    if got is not None:
+        return got
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(x.shape, dtype=ml_dtypes.bfloat16)
+    xf, of = x.reshape(-1), out.reshape(-1)
+    for i in range(0, xf.size, _BF16_CHUNK):
+        of[i : i + _BF16_CHUNK] = xf[i : i + _BF16_CHUNK].astype(
+            ml_dtypes.bfloat16
+        )
+    return out
+
+
+def np_split_bf16(x: np.ndarray):
+    """Host-side bf16 hi/lo split, (ah, al) with ah + al ~= x, computed in
+    bounded slices (see :func:`np_bf16` for why)."""
+    import ml_dtypes
+
+    from .. import native
+
+    got = native.bf16_split(x)
+    if got is not None:
+        return got
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    ah = np.empty(x.shape, dtype=ml_dtypes.bfloat16)
+    al = np.empty(x.shape, dtype=ml_dtypes.bfloat16)
+    xf = x.reshape(-1)
+    ahf, alf = ah.reshape(-1), al.reshape(-1)
+    for i in range(0, xf.size, _BF16_CHUNK):
+        sl = xf[i : i + _BF16_CHUNK]
+        hi = sl.astype(ml_dtypes.bfloat16)
+        ahf[i : i + _BF16_CHUNK] = hi
+        alf[i : i + _BF16_CHUNK] = (sl - hi.astype(np.float32)).astype(
+            ml_dtypes.bfloat16
+        )
+    return ah, al
+
+
 def split_b_bf16(b):
     """fp32 (k, n) -> (bh, bl) bf16 with bh + bl ~ b; XLA fuses this into
     the exchange epilogue, replacing the kernel's per-step VPU split.

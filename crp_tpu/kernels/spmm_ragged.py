@@ -93,17 +93,18 @@ def ragged_params() -> tuple[int, int]:
 def default_min_chunk_nnz(TM: int, Wc: int) -> int:
     """Break-even nnz for keeping a chunk on the MXU.
 
-    A kept chunk streams ~``TM*Wc`` A-panel bytes + ``Wc*n`` B bytes per
-    exec; a spilled nnz costs ~two n-vectors of gather/scatter traffic.
-    The ratio lands near ``TM*Wc/192``; override with
-    ``CRP_TPU_RAGGED_MIN_NNZ``.
+    Measured on chip (r3, 786k-node cplaw): a kept chunk costs ~1.1 us
+    per exec (A panel ~TM*Wc bf16 pair + B chunk Wc*n streamed at HBM
+    rate) while a spilled nnz costs ~21 ns through the sorted segment-sum
+    gather — break-even ~55 nnz at (128, 512).  ``TM*Wc/1024`` tracks
+    that; override with ``CRP_TPU_RAGGED_MIN_NNZ``.
     """
     import os
 
     env = os.environ.get("CRP_TPU_RAGGED_MIN_NNZ")
     if env is not None:
         return max(1, int(env))
-    return max(8, (TM * Wc) // 192)
+    return max(8, (TM * Wc) // 1024)
 
 
 def _cover_group_np(cols_sorted: np.ndarray, Wc: int) -> list[int]:
@@ -618,12 +619,17 @@ def pack_spill(
     return rows, cols, vals
 
 
-def spmm_spill_chunked(rows, cols, vals, b, nrow: int, chunk: int = 1 << 18):
-    """Memory-bounded VPU path for spilled nonzeros.
+def spmm_spill_chunked(rows, cols, vals, b, nrow: int,
+                       chunk: int | None = None):
+    """Memory-bounded VPU path for spilled nonzeros (rows SORTED ascending,
+    pad rows == nrow at the end).
 
-    Scans nnz in fixed chunks: gather (Q, n) rows of B, scale, scatter-add
-    into the carried C — peak memory O(chunk * n) instead of the segsum
-    path's O(nnz * n).  Out-of-range pad rows are dropped by the scatter.
+    Fast path (fits the gather budget): one gather + sorted segment-sum —
+    the same ~20 ns/nnz XLA scatter the segsum kernel achieves (the r3
+    on-chip profile measured the scan+unsorted-scatter variant at ~55
+    ns/nnz, slower per nnz than pure segsum).  Otherwise scans nnz in
+    fixed chunks with a sorted scatter-add into the carried C, keeping
+    peak memory O(chunk * n).
     """
     import jax
     import jax.numpy as jnp
@@ -633,11 +639,19 @@ def spmm_spill_chunked(rows, cols, vals, b, nrow: int, chunk: int = 1 << 18):
     init = jnp.zeros((nrow, n), dtype=b.dtype)
     if nnz == 0:
         return init
+    if chunk is None:
+        budget = int(
+            float(__import__("os").environ.get("CRP_TPU_SPILL_GB", 4)) * 2**30
+        )
+        chunk = max(budget // (n * np.dtype(b.dtype).itemsize), 1 << 14)
     if nnz <= chunk:
         contrib = vals[:, None].astype(b.dtype) * jnp.take(
             b, cols, axis=0, fill_value=0
         )
-        return init.at[rows].add(contrib, mode="drop")
+        # pad rows == nrow land in segment nrow and are sliced away
+        return jax.ops.segment_sum(
+            contrib, rows, num_segments=nrow + 1, indices_are_sorted=True
+        )[:nrow]
 
     Q = chunk
     nchunks = -(-nnz // Q)
@@ -652,7 +666,9 @@ def spmm_spill_chunked(rows, cols, vals, b, nrow: int, chunk: int = 1 << 18):
         contrib = v[:, None].astype(b.dtype) * jnp.take(
             b, cl, axis=0, fill_value=0
         )
-        return c.at[r].add(contrib, mode="drop"), None
+        return c.at[r].add(
+            contrib, mode="drop", indices_are_sorted=True
+        ), None
 
     c, _ = jax.lax.scan(
         body, init,

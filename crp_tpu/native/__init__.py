@@ -79,6 +79,9 @@ def _load():
     lib.crp_ggp_partition.argtypes = [
         i64, p_i64, p_i32, i64, ctypes.c_double, p_i32,
     ]
+    p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.crp_bf16_cast.argtypes = [i64, p_f32, p_u16]
+    lib.crp_bf16_split.argtypes = [i64, p_f32, p_u16, p_u16]
     lib.crp_ragged_cover.restype = i64
     lib.crp_ragged_cover.argtypes = [
         i64, p_i64, p_i32, i64, i64, i64, i64, i64, i64, p_i32, p_i64,
@@ -148,6 +151,33 @@ def pack_window_flat_f32(nrow, rowptr, colidx, val, TM, TK, max_window, G, W):
     if w0 < 0:
         return None
     return ws, panels, int(w0)
+
+
+def bf16_cast(x):
+    """Native multithreaded fp32 -> bf16 (RNE); returns bf16 array or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(x.shape, dtype=np.uint16)
+    lib.crp_bf16_cast(x.size, x.reshape(-1), out.reshape(-1))
+    return out.view(ml_dtypes.bfloat16)
+
+
+def bf16_split(x):
+    """Native multithreaded bf16 hi/lo split; returns (ah, al) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    ah = np.empty(x.shape, dtype=np.uint16)
+    al = np.empty(x.shape, dtype=np.uint16)
+    lib.crp_bf16_split(x.size, x.reshape(-1), ah.reshape(-1), al.reshape(-1))
+    return ah.view(ml_dtypes.bfloat16), al.view(ml_dtypes.bfloat16)
 
 
 def ragged_cover(rowptr, colidx, TM, TK, Wc, min_chunk_nnz, G):

@@ -233,6 +233,38 @@ int64_t crp_ragged_fill_f32(
     return sp_off[G];
 }
 
+// fp32 -> bf16 round-to-nearest-even (bit-exact with ml_dtypes / XLA);
+// multithreaded — the single-threaded numpy/ml_dtypes cast path measures
+// an unstable 0.05-2 GB/s on this VM while GB-scale panel splits sit on
+// the engine init path.
+static inline uint16_t f32_to_bf16(float f)
+{
+    uint32_t u;
+    std::memcpy(&u, &f, 4);
+    return (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+}
+
+void crp_bf16_cast(int64_t n, const float* x, uint16_t* out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) out[i] = f32_to_bf16(x[i]);
+}
+
+// bf16 hi/lo split: ah = bf16(x), al = bf16(x - f32(ah)).
+void crp_bf16_split(int64_t n, const float* x, uint16_t* ah, uint16_t* al)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t u;
+        std::memcpy(&u, &x[i], 4);
+        uint32_t r = (u + 0x7FFFu + ((u >> 16) & 1u)) & 0xFFFF0000u;
+        ah[i] = (uint16_t)(r >> 16);
+        float hi;
+        std::memcpy(&hi, &r, 4);
+        al[i] = f32_to_bf16(x[i] - hi);
+    }
+}
+
 // Matrix Market coordinate parser.  Two-phase: stat then read.
 // field: 0 real/double, 1 integer, 2 pattern.  symm: 0 general, 1 symmetric.
 int crp_mtx_stat(const char* path, int64_t* nrow, int64_t* ncol,
