@@ -284,6 +284,17 @@ def main(argv=None) -> int:
                 sweep=sweep, engine=args[3], n=args[1], p=args[2],
                 kernel=args[4].kernel, error=f"{type(e).__name__}: {e}",
             )
+        if int(opt.get("project", 0)) and args[3] == "rowpara" \
+                and "error" not in rec:
+            # per-record projected multi-chip exec (plan.project): kernel
+            # roofline + exact exchange bytes over ICI, with/without overlap
+            from ..plan.project import project_exec_1d
+
+            rec["projected"] = project_exec_1d(
+                a, args[1], args[2],
+                mxu_prec=os.environ.get("CRP_TPU_MXU_PREC", "highest"),
+                dtype=dtype,
+            )
         if plan_procs:
             # what grid WOULD the 2D planner pick for this n on a
             # plan_procs-device mesh (independent of the exec config)
