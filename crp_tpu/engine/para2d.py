@@ -61,9 +61,14 @@ class Para2dSpmm:
         self.dtype = np.dtype(dtype if dtype is not None else self.config.dtype)
         self.timer = Timer()
         t0 = Timer()
+        self._t_build = Timer()
         with t0.phase("init"):
             self._build(a)
         self.t_init = t0.t["init"]
+        tb = self._t_build
+        self.init_breakdown = {
+            k: round(tb.t.get(k, 0.0), 4) for k in ("plan", "pack", "upload")
+        }
 
     # ------------------------------------------------------------------ init
     @classmethod
@@ -90,6 +95,7 @@ class Para2dSpmm:
         self.dtype = np.dtype(dtype if dtype is not None else self.config.dtype)
         self.timer = Timer()
         t0 = Timer()
+        self._t_build = Timer()
         with t0.phase("init"):
             from ..shard.dist_a import replicate_a0
 
@@ -104,6 +110,10 @@ class Para2dSpmm:
             )
             self._build_from_panels(panels, last_blk_nnz)
         self.t_init = t0.t["init"]
+        tb = self._t_build
+        self.init_breakdown = {
+            k: round(tb.t.get(k, 0.0), 4) for k in ("plan", "pack", "upload")
+        }
         return self
 
     def _build(self, a) -> None:
@@ -133,9 +143,10 @@ class Para2dSpmm:
             self._B_displs[-1] = plan.k
 
         reidx = bool(self.config.rb_reidx)
-        self.xplan = build_b_exchange(
-            [p_.colidx for p_ in panels], self._B_displs, reidx=reidx
-        )
+        with self._t_build.phase("plan"):
+            self.xplan = build_b_exchange(
+                [p_.colidx for p_ in panels], self._B_displs, reidx=reidx
+            )
         from ..kernels.dispatch import resolve_auto_kernel
 
         kind = self.config.kernel
@@ -173,9 +184,10 @@ class Para2dSpmm:
                 self._B_displs, int(self._B_displs[-1])
             )
             try:
-                self.hplan = build_halo_plan(
-                    panels, self._halo_B_rowptr, dtype=self.dtype
-                )
+                with self._t_build.phase("pack"):
+                    self.hplan = build_halo_plan(
+                        panels, self._halo_B_rowptr, dtype=self.dtype
+                    )
             except UnsupportedSparsity as e:
                 logger.warning(
                     "pallas_halo unavailable (%s); falling back to the "
@@ -191,8 +203,10 @@ class Para2dSpmm:
                 hp.ws_rel, hp.push_src, hp.push_dev, hp.push_dst,
                 hp.npush, hp.exp_from, hp.wait_bound,
             )
-            self.d_halo = tuple(put_pm(x) for x in self._halo_arrays)
-            self.d_panels = put_pm(hp.a_panels)
+            with self._t_build.phase("upload"):
+                self.d_halo = tuple(put_pm(x) for x in self._halo_arrays)
+                self.d_panels = put_pm(hp.a_panels)
+                self.d_panels.block_until_ready()
             self._tn = 128
             nloc = int(max(np.diff(plan.BC_colptr).max(), 1))
             self._nloc_pad = -(-nloc // self._tn) * self._tn
@@ -204,10 +218,12 @@ class Para2dSpmm:
                 NamedSharding(self.mesh, P("pm", "pn", None, None)),
             )
         elif self.overlap:
-            self.ring = build_ring_spmm(
-                panels, self.xplan, self._B_displs, self.max_m, self.dtype,
-                kind, mxu_precision=self.config.mxu_precision,
-            )
+            with self._t_build.phase("pack"):
+                self.ring = build_ring_spmm(
+                    panels, self.xplan, self._B_displs, self.max_m,
+                    self.dtype, kind,
+                    mxu_precision=self.config.mxu_precision,
+                )
             self.d_kernel = tuple(put_pm(a) for a in self.ring.self_arrays)
             self._kernel_specs = tuple(
                 P("pm", *([None] * (a.ndim - 1)))
@@ -231,26 +247,31 @@ class Para2dSpmm:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
             try:
-                arrays, self._local_fn = pack_local_kernel(
-                    shards_compact, self.max_m, self.dtype, kind,
-                    mxu_precision=self.config.mxu_precision,
-                )
+                with self._t_build.phase("pack"):
+                    arrays, self._local_fn = pack_local_kernel(
+                        shards_compact, self.max_m, self.dtype, kind,
+                        mxu_precision=self.config.mxu_precision,
+                    )
             except UnsupportedSparsity as e:
                 logger.warning(
                     "kernel=%r rejected this sparsity (%s); falling back "
                     "to segsum", kind, e,
                 )
                 kind = "segsum"
-                arrays, self._local_fn = pack_local_kernel(
-                    shards_compact, self.max_m, self.dtype, "segsum"
-                )
+                with self._t_build.phase("pack"):
+                    arrays, self._local_fn = pack_local_kernel(
+                        shards_compact, self.max_m, self.dtype, "segsum"
+                    )
             # the pallas windowed kernel needs rB padded so window DMAs stay
             # in-bounds; extra rows only ever meet zero A-tile columns
             self._rb_rows = max(
                 self.xplan.rB_nrow_max,
                 getattr(self._local_fn, "min_b_rows", 1), 1,
             )
-            self.d_kernel = tuple(put_pm(a) for a in arrays)
+            with self._t_build.phase("upload"):
+                self.d_kernel = tuple(put_pm(a) for a in arrays)
+                for x in self.d_kernel:
+                    x.block_until_ready()
             self._kernel_specs = tuple(
                 P("pm", *([None] * (a.ndim - 1))) for a in arrays
             )
