@@ -209,6 +209,22 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
     )
     rec["inner"] = inner
     rec["gflops"] = round(2.0 * a.nnz * n / min(times) / 1e9, 1)
+    if rl is not None:
+        # same roofline audit as bench.py (panel FLOPs, not nominal sparse)
+        tn_ = 256 if n % 256 == 0 else 128
+        n_pad = -(-n // tn_) * tn_
+        prec = getattr(config, "mxu_precision", "highest")
+        passes = {"x3": 3, "highest": 6, "default": 1}.get(prec, 1)
+        chunks = rl.get("S", rl["G"])
+        dense_flops = 2.0 * chunks * rl["TM"] * rl["W"] * n_pad
+        mxu_peak = float(os.environ.get("CRP_BENCH_MXU_PEAK", 197)) * 1e12
+        t_ = min(times)
+        rec["roofline"] = dict(
+            mxu_prec=prec,
+            dense_gflops=round(dense_flops / 1e9, 1),
+            achieved_tflops=round(dense_flops * passes / t_ / 1e12, 2),
+            mxu_util=round(dense_flops * passes / t_ / mxu_peak, 3),
+        )
     if check:
         rec["rel_fro_err"] = float(rel_fro_err(a.spmm_ref(b), eng.unshard_c(c)))
     return rec

@@ -79,10 +79,14 @@ class SpmmConfig:
         kernel="dd" for fp64-class accuracy on fp32 hardware.
     kernel:
         Local SpMM kernel: "auto" | "segsum" (gather + segment-sum, runs
-        everywhere) | "ell" | "pallas" (MXU windowed kernel) | "dd"
-        (double-float, fp64-class on TPU) | "pallas_halo" (fused kernel:
-        B halo rows RDMA-pushed between chips inside the kernel, compute
-        gated per chunk — banded/reordered matrices).
+        everywhere) | "ell" | "pallas" (MXU windowed kernel; routes to the
+        ragged gathered-window hybrid when the uniform window is
+        infeasible or wasteful) | "ragged" (force the ragged hybrid) |
+        "dd" (double-float fp64-class; on TPU auto-upgrades to the Ozaki
+        MXU kernel when the cover fits) | "dd_mxu" (force the fp64-class
+        MXU kernel) | "pallas_halo" (fused kernel: B halo rows RDMA-pushed
+        between chips inside the kernel, compute gated per chunk —
+        banded/reordered matrices).
     overlap:
         Overlap the B-row exchange with compute (TPU-only design, no
         reference equivalent — SURVEY.md section 7 calls this out as new):

@@ -105,7 +105,7 @@ class CrpSpmm:
             kind = resolve_auto_kernel(
                 self.dtype, pm, overlap=self.overlap, allow_halo=not fine
             )
-        self.is_dd = kind == "dd"
+        self.is_dd = kind in ("dd", "dd_mxu")
         if self.is_dd and self.overlap:
             raise ValueError(
                 "kernel='dd' is incompatible with overlap=1: the per-shift "

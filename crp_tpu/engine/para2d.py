@@ -155,7 +155,7 @@ class Para2dSpmm:
                 self.dtype, pm, overlap=bool(self.config.overlap)
             )
         self.overlap = bool(self.config.overlap)
-        self.is_dd = kind == "dd"
+        self.is_dd = kind in ("dd", "dd_mxu")
         self.is_halo = kind == "pallas_halo"
         if self.is_dd and self.overlap:
             raise ValueError(

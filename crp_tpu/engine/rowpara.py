@@ -111,7 +111,7 @@ class RowParaSpmm:
                 self.dtype, p, overlap=bool(self.config.overlap)
             )
         self.overlap = bool(self.config.overlap)
-        self.is_dd = kind == "dd"
+        self.is_dd = kind in ("dd", "dd_mxu")
         self.is_halo = kind == "pallas_halo"
         if self.is_dd and self.overlap:
             raise ValueError(

@@ -111,7 +111,21 @@ def pack_local_kernel(
     if kind == "ragged":
         return _pack_ragged(shards, max_m, dtype, mxu_precision)
 
+    if kind == "dd_mxu":
+        return _pack_dd_mxu(shards, max_m)
+
     if kind == "dd":
+        import jax
+
+        from .spmm_pallas import UnsupportedSparsity
+
+        if jax.default_backend() == "tpu":
+            # fp64-class on the MXU (Ozaki exact slicing) when the ragged
+            # cover takes every nnz under the panel cap; VPU dd otherwise
+            try:
+                return _pack_dd_mxu(shards, max_m)
+            except UnsupportedSparsity:
+                pass
         from .spmm_dd import (
             pack_coo_dd, pack_ell_dd, spmm_ell_dd, spmm_segsum_dd,
         )
@@ -596,3 +610,101 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         mxu_frac=mxu_nnz / total_nnz,
     )
     return arrays, local_fn
+
+
+def _pack_dd_mxu(shards, max_m):
+    """fp64-class MXU pack: ragged total cover + Ozaki slice planes.
+
+    Same stacking discipline as ``_pack_ragged`` (dummy chunks initialize
+    every output block, trailing no-op steps pad to a common S); dummy
+    panels have zero slices and unit scales.
+    """
+    import jax
+
+    from .spmm_dd_mxu import QA, pack_ragged_dd, spmm_ragged_dd
+    from .spmm_pallas import UnsupportedSparsity
+    from .spmm_ragged import ragged_params
+
+    TM, Wc = ragged_params()
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        Wc = min(Wc, 256)
+
+    packs = []
+    total_nnz = 0
+    for rowptr, cc, v in shards:
+        nnz = int(rowptr[-1]) - int(rowptr[0]) if len(rowptr) > 1 else 0
+        total_nnz += nnz
+        if nnz == 0:
+            packs.append(None)
+            continue
+        ncol = int(cc.max()) + 1 if len(cc) else 1
+        packs.append(
+            pack_ragged_dd(rowptr, cc, np.asarray(v, np.float64), ncol,
+                           TM=TM, Wc=Wc)
+        )
+    if total_nnz == 0:
+        raise UnsupportedSparsity("all shards empty")
+
+    G = max(
+        -(-max_m // TM),
+        max((rw.G for rw, _, _ in packs if rw is not None), default=1),
+    )
+    per = []
+    for item in packs:
+        if item is None:
+            starts = np.zeros(G, np.int32)
+            step_g = np.arange(G, dtype=np.int32)
+            step_first = np.ones(G, np.int32)
+            mu = np.ones((0, TM), np.float32)
+            sl = None
+            real_S = 0
+        else:
+            rw, mu, sl = item
+            starts, step_g, step_first = rw.starts, rw.step_g, rw.step_first
+            real_S = rw.S
+            if rw.G < G:
+                extra = G - rw.G
+                starts = np.concatenate([starts, np.zeros(extra, np.int32)])
+                step_g = np.concatenate(
+                    [step_g, np.arange(rw.G, G, dtype=np.int32)]
+                )
+                step_first = np.concatenate(
+                    [step_first, np.ones(extra, np.int32)]
+                )
+        per.append((starts, step_g, step_first, mu, sl, real_S))
+
+    S = max(len(x[0]) for x in per)
+    p = len(shards)
+    import ml_dtypes
+
+    a_starts = np.zeros((p, S), np.int32)
+    a_g = np.full((p, S), G - 1, np.int32)
+    a_first = np.zeros((p, S), np.int32)
+    a_mu = np.ones((p, S, TM), np.float32)
+    a_sl = np.zeros((p, QA, S, TM, Wc), ml_dtypes.bfloat16)
+    for i, (starts, step_g, step_first, mu, sl, real_S) in enumerate(per):
+        k = len(starts)
+        a_starts[i, :k] = starts
+        a_g[i, :k] = step_g
+        a_first[i, :k] = step_first
+        if sl is not None:
+            a_mu[i, :real_S] = mu
+            a_sl[i, :, :real_S] = sl
+
+    min_b_rows = int(a_starts.max()) + Wc
+    kw = dict(G=G, TM=TM, Wc=Wc, interpret=interpret)
+
+    def local_fn(arrs, rB_packed):
+        return spmm_ragged_dd(
+            arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], rB_packed, **kw
+        )
+
+    local_fn.min_b_rows = min_b_rows
+    local_fn.variant = "dd_mxu"
+    local_fn.roofline = dict(
+        G=G, TM=TM, W=Wc, a_bytes=int(a_sl.nbytes + a_mu.nbytes),
+        b_rows_read=S * Wc, c_rows=G * TM, b_itemsize=8,
+        S=S, spill_nnz=0, mxu_frac=1.0,
+    )
+    return (a_g, a_first, a_starts, a_mu, a_sl), local_fn

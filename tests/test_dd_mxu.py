@@ -1,0 +1,92 @@
+"""fp64-class MXU kernel (Ozaki exact slicing, kernels/spmm_dd_mxu.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crp_tpu.config import SpmmConfig
+from crp_tpu.engine.rowpara import RowParaSpmm
+from crp_tpu.kernels.spmm_dd import pack_b_dd, unpack_c_dd
+from crp_tpu.kernels.spmm_dd_mxu import (
+    PASSES, QA, pack_ragged_dd, slice_a_f64, spmm_ragged_dd,
+)
+from crp_tpu.kernels.spmm_ragged import pack_ragged_window
+from crp_tpu.plan.partition1d import csr_row_partition
+from crp_tpu.shard.layout import make_mesh_1d
+from crp_tpu.sparse.synth import banded_random_csr, powerlaw_community_csr
+from crp_tpu.utils.norms import rel_fro_err
+
+
+def test_pass_schedule():
+    # 34 exact passes, none beyond the slice planes, p+q <= 7
+    assert len(PASSES) == 34
+    assert all(p < QA and q < QA and p + q <= 7 for p, q in PASSES)
+
+
+def test_a_slices_reconstruct_to_49_bits():
+    a = banded_random_csr(600, nnz_per_row=7, bandwidth=80, seed=7)
+    rw = pack_ragged_window(a.rowptr, a.colidx, a.val, a.ncol, TM=128,
+                            Wc=256, min_chunk_nnz=1, dtype=np.float64)
+    mu, slices = slice_a_f64(rw.panels)
+    rec = np.zeros(rw.panels.shape)
+    for p in range(QA):
+        rec += slices[p].astype(np.float64) * 2.0 ** (-7 * (p + 1))
+    rec *= mu[:, :, None].astype(np.float64)
+    scale = np.abs(rw.panels).max()
+    assert np.abs(rec - rw.panels).max() <= 2.0 ** -48 * scale
+    # slices are bf16-exact integers within the 7-bit budget
+    for p in range(QA):
+        sp = slices[p].astype(np.float64)
+        assert np.all(sp == np.rint(sp)) and np.abs(sp).max() <= 128
+
+
+@pytest.mark.parametrize(
+    "gen",
+    [
+        lambda: banded_random_csr(1500, nnz_per_row=7, bandwidth=120, seed=7),
+        lambda: powerlaw_community_csr(1536, avg_degree=9, comm_size=256,
+                                       seed=3),
+    ],
+    ids=["banded", "cplaw"],
+)
+def test_dd_mxu_kernel_fp64_class(gen):
+    a = gen()
+    rw, mu, slices = pack_ragged_dd(a.rowptr, a.colidx, a.val, a.ncol,
+                                    TM=128, Wc=256)
+    assert rw.spill_nnz == 0  # total cover: dd accuracy has no spill tier
+    b = np.random.default_rng(0).standard_normal((a.ncol, 40))
+    bp = pack_b_dd(b)
+    bp = np.pad(bp, ((0, max(0, rw.min_b_rows - bp.shape[0])), (0, 0)))
+    c_packed = spmm_ragged_dd(
+        rw.step_g, rw.step_first, rw.starts, mu, slices,
+        jnp.asarray(np.asarray(bp, np.float32)),
+        G=rw.G, TM=rw.TM, Wc=rw.Wc, TN=128, interpret=True,
+    )
+    c = unpack_c_dd(np.asarray(c_packed))[: a.nrow]
+    assert rel_fro_err(a.spmm_ref(b), c) <= 1e-13
+
+
+@pytest.mark.parametrize("p", [1, 4])
+def test_engine_dd_mxu(p, devices8):
+    a = banded_random_csr(3000, nnz_per_row=9, bandwidth=150, seed=7)
+    displs = csr_row_partition(a.rowptr, p)
+    eng = RowParaSpmm(a, displs, displs, 24,
+                      mesh=make_mesh_1d(p, devices=devices8[:p]),
+                      config=SpmmConfig(kernel="dd_mxu"))
+    assert getattr(eng._local_fn, "variant", None) == "dd_mxu"
+    assert eng.is_dd  # B/C travel as packed hi/lo halves
+    b = np.random.default_rng(0).standard_normal((a.ncol, 24))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-13
+
+
+def test_dd_stays_vpu_off_tpu(devices8):
+    # kernel="dd" keeps the VPU double-float path on non-TPU backends
+    a = banded_random_csr(800, nnz_per_row=5, bandwidth=40, seed=9)
+    displs = csr_row_partition(a.rowptr, 2)
+    eng = RowParaSpmm(a, displs, displs, 8,
+                      mesh=make_mesh_1d(2, devices=devices8[:2]),
+                      config=SpmmConfig(kernel="dd"))
+    assert getattr(eng._local_fn, "variant", None) is None
+    b = np.random.default_rng(1).standard_normal((a.ncol, 8))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
