@@ -47,9 +47,9 @@ def test_fuzz_rowpara_configs(trial, devices8):
         rb_p2p=int(rng.integers(0, 2)),
         rb_reidx=int(rng.integers(0, 2)),
         overlap=int(rng.random() < 0.3),
-        kernel=str(rng.choice(["segsum", "ell", "dd"])),
+        kernel=str(rng.choice(["segsum", "ell", "dd", "dd_mxu"])),
     )
-    if cfg.kernel == "dd" and cfg.overlap:
+    if cfg.kernel in ("dd", "dd_mxu") and cfg.overlap:
         cfg.overlap = 0
     displs = csr_row_partition(a.rowptr, p)
     b_displs = displs if a.nrow == a.ncol else uniform_displs(a.ncol, p)
@@ -115,10 +115,12 @@ def test_fuzz_crp_configs(trial, devices8):
         overlap=int(rng.random() < 0.4),
         a2a_b_finegrain=int(rng.integers(0, 2)),
         kernel=str(
-            rng.choice(["segsum", "ell", "pallas", "dd", "pallas_halo"])
+            rng.choice(
+                ["segsum", "ell", "pallas", "dd", "dd_mxu", "pallas_halo"]
+            )
         ),
     )
-    if cfg.kernel == "dd" and cfg.overlap:
+    if cfg.kernel in ("dd", "dd_mxu") and cfg.overlap:
         cfg.overlap = 0
     if cfg.kernel == "pallas_halo":
         # halo implements the coarse geometry and fuses the exchange; the
