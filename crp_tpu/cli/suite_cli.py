@@ -15,7 +15,8 @@ Usage:
                                       # SC23 Fig. 7 shape: pn grows with n,
                                       # ``figures/plot_vary_n2.m:4-7``)
   crp-suite modes   <mtx|synth:spec> <n> <p>        # a2a vs ring vs overlap
-  crp-suite kernels <mtx|synth:spec> <n> <p>        # segsum/ell/pallas/dd
+  crp-suite kernels <mtx|synth:spec> <n> <p>        # --list=segsum,ell,
+                    # pallas,ragged,dd,dd_mxu,pallas_halo
 
 Common flags: --engine=para2d|rowpara  --kernel=...  --dtype=...
   --ntest=N  --out=FILE.jsonl  --cpu-mesh=N (re-exec on an N-device
@@ -24,8 +25,12 @@ Common flags: --engine=para2d|rowpara  --kernel=...  --dtype=...
   command on every pod-slice host, e.g. via scripts/pod_suite.sh — the
   ``srun`` analog of the reference's SLURM scripts)
 
-Matrices: a Matrix Market path, or synth:banded:<nrow>:<nnz_per_row>:<bw>
-or synth:plaw:<nrow>:<deg> (network-free benchmarking).
+Matrices: a Matrix Market path, or synth:banded:<nrow>:<nnz_per_row>:<bw>,
+synth:plaw:<nrow>:<deg>, or
+synth:cplaw:<nrow>:<deg>:<comm>[:<p_local_pct>[:perm]] (network-free
+benchmarking; cplaw = community power-law, the post-reordering structure
+of the reference's social/co-purchase inputs).  --project=1 attaches the
+projected multi-chip exec block (plan.project) to rowpara records.
 """
 
 from __future__ import annotations

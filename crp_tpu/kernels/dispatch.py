@@ -119,7 +119,12 @@ def pack_local_kernel(
 
         from .spmm_pallas import UnsupportedSparsity
 
-        if jax.default_backend() == "tpu":
+        import os
+
+        if (
+            jax.default_backend() == "tpu"
+            and os.environ.get("CRP_TPU_DD_NO_MXU") != "1"
+        ):
             # fp64-class on the MXU (Ozaki exact slicing) when the ragged
             # cover takes every nnz under the panel cap; VPU dd otherwise
             try:
