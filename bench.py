@@ -102,7 +102,9 @@ def main():
         tn = 256 if n % 256 == 0 else 128
         nj = -(-n // tn)
         n_pad = nj * tn
-        passes = {"x3": 3, "highest": 6, "default": 1}.get(prec, 1)
+        passes = rl.get(
+            "passes", {"x3": 3, "highest": 6, "default": 1}.get(prec, 1)
+        )
         # ragged packs expose S chunks of (TM, Wc); uniform packs G of
         # (TM, W) — same formula with chunks = S or G
         chunks = rl.get("S", rl["G"])

@@ -219,7 +219,11 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
         tn_ = 256 if n % 256 == 0 else 128
         n_pad = -(-n // tn_) * tn_
         prec = getattr(config, "mxu_precision", "highest")
-        passes = {"x3": 3, "highest": 6, "default": 1}.get(prec, 1)
+        # dd_mxu and the packs record their true pass count; the env map
+        # is only the legacy fallback
+        passes = rl.get(
+            "passes", {"x3": 3, "highest": 6, "default": 1}.get(prec, 1)
+        )
         chunks = rl.get("S", rl["G"])
         dense_flops = 2.0 * chunks * rl["TM"] * rl["W"] * n_pad
         mxu_peak = float(os.environ.get("CRP_BENCH_MXU_PEAK", 197)) * 1e12

@@ -257,9 +257,11 @@ class CrpSpmm:
                     mxu_precision=self.config.mxu_precision,
                 )
             except UnsupportedSparsity:
-                kind = "segsum"
+                # a dd-class request must keep its accuracy contract: fall
+                # back to the VPU double-float kernels, not fp32
+                kind = "dd" if self.is_dd else "segsum"
                 arrays, self._local_fn = pack_local_kernel(
-                    shards_compact, self.max_m, self.dtype, "segsum"
+                    shards_compact, self.max_m, self.dtype, kind
                 )
             self.kernel_kind = kind
             self._rb_rows = max(
@@ -308,7 +310,9 @@ class CrpSpmm:
         if self.is_halo:
             import jax.numpy as jnp
 
-            from ..kernels.spmm_halo import halo_spmm_local
+            from ..kernels.spmm_halo import (
+                halo_spmm_local, resolve_halo_precision,
+            )
 
             hp = self.hplan
             interpret = jax.default_backend() != "tpu"
@@ -319,13 +323,7 @@ class CrpSpmm:
                 p=self.pm, pn_size=self.pn, TM=hp.TM, G=hp.G, W=hp.W,
                 Wc=hp.Wc, C_panel=hp.C_panel, TN=self._tn,
                 interpret=interpret,
-                precision=(
-                    jax.lax.Precision.DEFAULT
-                    if self.config.mxu_precision == "default"
-                    else self.config.mxu_precision
-                    if self.config.mxu_precision == "x3"
-                    else None
-                ),
+                precision=resolve_halo_precision(self.config.mxu_precision),
             )
 
             def local(*args):

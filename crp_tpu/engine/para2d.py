@@ -253,14 +253,17 @@ class Para2dSpmm:
                         mxu_precision=self.config.mxu_precision,
                     )
             except UnsupportedSparsity as e:
+                # a dd-class request must keep its accuracy contract: fall
+                # back to the VPU double-float kernels, not fp32
+                fb = "dd" if self.is_dd else "segsum"
                 logger.warning(
                     "kernel=%r rejected this sparsity (%s); falling back "
-                    "to segsum", kind, e,
+                    "to %s", kind, e, fb,
                 )
-                kind = "segsum"
+                kind = fb
                 with self._t_build.phase("pack"):
                     arrays, self._local_fn = pack_local_kernel(
-                        shards_compact, self.max_m, self.dtype, "segsum"
+                        shards_compact, self.max_m, self.dtype, fb
                     )
             # the pallas windowed kernel needs rB padded so window DMAs stay
             # in-bounds; extra rows only ever meet zero A-tile columns

@@ -198,14 +198,31 @@ class RowParaSpmm:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
             # memoize the pack + device upload on the matrix object: the
-            # packed arrays depend only on (partition, kernel, precision,
-            # dtype) — an n-sweep or repeated init re-uses them (task: init
-            # is pack+upload-bound at headline scale, r2 vary_n records)
+            # packed arrays depend only on (matrix content, partition,
+            # kernel, precision, dtype) — an n-sweep or repeated init
+            # re-uses them (init is pack+upload-bound at headline scale,
+            # r2 vary_n records).  Content is keyed by a sampled
+            # fingerprint (catches in-place reorders/value edits — e.g.
+            # plan_from_csr(method="metis") permutes in place — without a
+            # full O(nnz) hash) plus every pack-affecting env knob.
+            import os
+
+            stride = max(1, a.nnz // 1024)
             cache_key = (
                 "rowpara_pack", kind, self.config.mxu_precision,
                 str(self.dtype), reidx, self.axis,
                 self.A_row_displs.tobytes(), self.B_row_displs.tobytes(),
                 tuple(d.id for d in self.mesh.devices.flat),
+                a.nnz,
+                a.val[::stride].tobytes(), a.colidx[::stride].tobytes(),
+                tuple(
+                    os.environ.get(k)
+                    for k in (
+                        "CRP_TPU_RAGGED_TM", "CRP_TPU_RAGGED_WC",
+                        "CRP_TPU_RAGGED_MIN_NNZ", "CRP_TPU_RAGGED_MIN_PCT",
+                        "CRP_TPU_DD_NO_MXU", "CRP_TPU_SG_BUDGET",
+                    )
+                ),
             )
             cache = getattr(a, "_pack_cache", None)
             if cache is None:
@@ -224,14 +241,17 @@ class RowParaSpmm:
                             mxu_precision=self.config.mxu_precision,
                         )
                 except UnsupportedSparsity as e:
+                    # a dd-class request must keep its accuracy contract:
+                    # fall back to the VPU double-float kernels, not fp32
+                    fb = "dd" if self.is_dd else "segsum"
                     logger.warning(
                         "kernel=%r rejected this sparsity (%s); falling back "
-                        "to segsum", kind, e,
+                        "to %s", kind, e, fb,
                     )
-                    kind = "segsum"
+                    kind = fb
                     with tb.phase("pack"):
                         arrays, self._local_fn = pack_local_kernel(
-                            shards_compact, self.max_m, self.dtype, "segsum"
+                            shards_compact, self.max_m, self.dtype, fb
                         )
                 # the pallas windowed kernel needs rB padded so window DMAs
                 # stay in-bounds; extra rows only meet zero A-tile columns
@@ -289,16 +309,12 @@ class RowParaSpmm:
 
             hp = self.hplan
             interpret = jax.default_backend() != "tpu"
+            from ..kernels.spmm_halo import resolve_halo_precision
+
             kw = dict(
                 p=self.p, TM=hp.TM, G=hp.G, W=hp.W, Wc=hp.Wc,
                 C_panel=hp.C_panel, TN=self._tn, interpret=interpret,
-                precision=(
-                    jax.lax.Precision.DEFAULT
-                    if self.config.mxu_precision == "default"
-                    else self.config.mxu_precision
-                    if self.config.mxu_precision == "x3"
-                    else None
-                ),
+                precision=resolve_halo_precision(self.config.mxu_precision),
             )
 
             def local(*args):

@@ -258,6 +258,8 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
 def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
     import jax
 
+    n_passes = {"x3": 3, "highest": 6, "default": 1}.get(mxu_precision, 1)
+
     from .spmm_pallas import pack_window_dense, spmm_window_pallas, WindowDense
 
     from .spmm_pallas import choose_chunks, UnsupportedSparsity
@@ -367,6 +369,7 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
             local_fn.roofline = dict(
                 G=G_sg, TM=TM, W=W, a_bytes=ah.nbytes,
                 b_rows_read=sgc * Wsg, c_rows=G_sg * TM, b_itemsize=2,
+                passes=n_passes,
             )
             return (ws, ah, bases[None]), local_fn
 
@@ -395,6 +398,7 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
                 G=G_sg, TM=TM, W=W, a_bytes=ah.nbytes + al.nbytes,
                 b_rows_read=sgc * Wsg, c_rows=G_sg * TM,
                 b_itemsize=np.dtype(dtype).itemsize,
+                passes=n_passes,
             )
             return (ws, ah, al, bases[None]), local_fn
 
@@ -418,6 +422,7 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
             G=G_sg, TM=TM, W=W, a_bytes=tiles.nbytes,
             b_rows_read=sgc * Wsg, c_rows=G_sg * TM,
             b_itemsize=np.dtype(dtype).itemsize,
+            passes=n_passes,
         )
         return (ws, tiles, bases[None]), local_fn
 
@@ -437,9 +442,51 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
         G=G, TM=TM, W=W, a_bytes=tiles.nbytes,
         b_rows_read=G * W, c_rows=G * TM,
         b_itemsize=np.dtype(dtype).itemsize,
+        passes=n_passes,
     )
     arrays = (ws, tiles)
     return arrays, local_fn
+
+
+def _extend_and_stack_steps(shard_steps, G):
+    """Shared stacking discipline for the ragged kernel families.
+
+    ``shard_steps``: per shard, None (empty shard) or (starts, step_g,
+    step_first, G_s).  Groups past a shard's own count get dummy chunks
+    (start 0, first=1: every output block must be initialized); shards are
+    then padded to a common S with trailing no-op steps on the LAST group
+    (first=0, zero payload) — both preserve the kernels' consecutive-
+    output-block invariant.  Returns (a_g, a_first, a_starts, S).
+    """
+    per = []
+    for st in shard_steps:
+        if st is None:
+            starts = np.zeros(G, np.int32)
+            step_g = np.arange(G, dtype=np.int32)
+            step_first = np.ones(G, np.int32)
+        else:
+            starts, step_g, step_first, G_s = st
+            if G_s < G:
+                extra = G - G_s
+                starts = np.concatenate([starts, np.zeros(extra, np.int32)])
+                step_g = np.concatenate(
+                    [step_g, np.arange(G_s, G, dtype=np.int32)]
+                )
+                step_first = np.concatenate(
+                    [step_first, np.ones(extra, np.int32)]
+                )
+        per.append((starts, step_g, step_first))
+    S = max(len(x[0]) for x in per)
+    p = len(shard_steps)
+    a_starts = np.zeros((p, S), np.int32)
+    a_g = np.full((p, S), G - 1, np.int32)
+    a_first = np.zeros((p, S), np.int32)
+    for i, (starts, step_g, step_first) in enumerate(per):
+        k = len(starts)
+        a_starts[i, :k] = starts
+        a_g[i, :k] = step_g
+        a_first[i, :k] = step_first
+    return a_g, a_first, a_starts, S
 
 
 def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
@@ -449,8 +496,8 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
     variable/large bandwidth and power-law matrices (the reference's local
     kernels take any CSR: MKL ``src/rowpara_spmm.c:398-407``, cuSPARSE
     ``deprecated/src/cuda_proxy.cu:122-182``).  Raises UnsupportedSparsity
-    when the cover spills more than ``CRP_TPU_RAGGED_MIN_PCT`` (default
-    70%) of the nonzeros — the engines then fall back to segsum.
+    when the cover keeps less than ``CRP_TPU_RAGGED_MIN_PCT`` percent
+    (default 30) of the nonzeros on the MXU — the engines then fall back to segsum.
     """
     import os
 
@@ -500,44 +547,19 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         max((p.G for p in packs if p is not None), default=1),
     )
 
-    # per-shard step arrays, extended with dummy chunks for groups past the
-    # shard's own count (so every output block is initialized), then padded
-    # to a common S with trailing no-op steps on the last group
-    per = []
-    for p_ in packs:
-        if p_ is None:
-            starts = np.zeros(G, np.int32)
-            step_g = np.arange(G, dtype=np.int32)
-            step_first = np.ones(G, np.int32)
-            pan = np.zeros((0, TM, Wc), pack_dtype)
-            real_S = 0
-        else:
-            starts, step_g, step_first = p_.starts, p_.step_g, p_.step_first
-            pan = p_.panels
-            real_S = p_.S
-            if p_.G < G:
-                extra = G - p_.G
-                starts = np.concatenate([starts, np.zeros(extra, np.int32)])
-                step_g = np.concatenate(
-                    [step_g, np.arange(p_.G, G, dtype=np.int32)]
-                )
-                step_first = np.concatenate(
-                    [step_first, np.ones(extra, np.int32)]
-                )
-        per.append((starts, step_g, step_first, pan, real_S))
-
-    S = max(len(x[0]) for x in per)
+    a_g, a_first, a_starts, S = _extend_and_stack_steps(
+        [
+            None if p_ is None
+            else (p_.starts, p_.step_g, p_.step_first, p_.G)
+            for p_ in packs
+        ],
+        G,
+    )
     p = len(shards)
-    a_starts = np.zeros((p, S), np.int32)
-    a_g = np.full((p, S), G - 1, np.int32)
-    a_first = np.zeros((p, S), np.int32)
     panels = np.zeros((p, S, TM, Wc), pack_dtype)
-    for i, (starts, step_g, step_first, pan, real_S) in enumerate(per):
-        k = len(starts)
-        a_starts[i, :k] = starts
-        a_g[i, :k] = step_g
-        a_first[i, :k] = step_first
-        panels[i, :real_S] = pan
+    for i, p_ in enumerate(packs):
+        if p_ is not None:
+            panels[i, : p_.S] = p_.panels
 
     Z = max((p_.spill_nnz for p_ in packs if p_ is not None), default=0)
     has_spill = Z > 0
@@ -613,6 +635,7 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         b_rows_read=S * Wc, c_rows=G * TM, b_itemsize=b_itemsize,
         S=S, spill_nnz=Z * p,
         mxu_frac=mxu_nnz / total_nnz,
+        passes={"x3": 3, "highest": 6, "default": 1}.get(mxu_precision, 1),
     )
     return arrays, local_fn
 
@@ -626,7 +649,7 @@ def _pack_dd_mxu(shards, max_m):
     """
     import jax
 
-    from .spmm_dd_mxu import QA, pack_ragged_dd, spmm_ragged_dd
+    from .spmm_dd_mxu import PASSES, QA, pack_ragged_dd, spmm_ragged_dd
     from .spmm_pallas import UnsupportedSparsity
     from .spmm_ragged import ragged_params
 
@@ -655,47 +678,25 @@ def _pack_dd_mxu(shards, max_m):
         -(-max_m // TM),
         max((rw.G for rw, _, _ in packs if rw is not None), default=1),
     )
-    per = []
-    for item in packs:
-        if item is None:
-            starts = np.zeros(G, np.int32)
-            step_g = np.arange(G, dtype=np.int32)
-            step_first = np.ones(G, np.int32)
-            mu = np.ones((0, TM), np.float32)
-            sl = None
-            real_S = 0
-        else:
-            rw, mu, sl = item
-            starts, step_g, step_first = rw.starts, rw.step_g, rw.step_first
-            real_S = rw.S
-            if rw.G < G:
-                extra = G - rw.G
-                starts = np.concatenate([starts, np.zeros(extra, np.int32)])
-                step_g = np.concatenate(
-                    [step_g, np.arange(rw.G, G, dtype=np.int32)]
-                )
-                step_first = np.concatenate(
-                    [step_first, np.ones(extra, np.int32)]
-                )
-        per.append((starts, step_g, step_first, mu, sl, real_S))
-
-    S = max(len(x[0]) for x in per)
+    a_g, a_first, a_starts, S = _extend_and_stack_steps(
+        [
+            None if item is None
+            else (item[0].starts, item[0].step_g, item[0].step_first,
+                  item[0].G)
+            for item in packs
+        ],
+        G,
+    )
     p = len(shards)
     import ml_dtypes
 
-    a_starts = np.zeros((p, S), np.int32)
-    a_g = np.full((p, S), G - 1, np.int32)
-    a_first = np.zeros((p, S), np.int32)
     a_mu = np.ones((p, S, TM), np.float32)
     a_sl = np.zeros((p, QA, S, TM, Wc), ml_dtypes.bfloat16)
-    for i, (starts, step_g, step_first, mu, sl, real_S) in enumerate(per):
-        k = len(starts)
-        a_starts[i, :k] = starts
-        a_g[i, :k] = step_g
-        a_first[i, :k] = step_first
-        if sl is not None:
-            a_mu[i, :real_S] = mu
-            a_sl[i, :, :real_S] = sl
+    for i, item in enumerate(packs):
+        if item is not None:
+            rw, mu, sl = item
+            a_mu[i, : rw.S] = mu
+            a_sl[i, :, : rw.S] = sl
 
     min_b_rows = int(a_starts.max()) + Wc
     kw = dict(G=G, TM=TM, Wc=Wc, interpret=interpret)
@@ -710,6 +711,6 @@ def _pack_dd_mxu(shards, max_m):
     local_fn.roofline = dict(
         G=G, TM=TM, W=Wc, a_bytes=int(a_sl.nbytes + a_mu.nbytes),
         b_rows_read=S * Wc, c_rows=G * TM, b_itemsize=8,
-        S=S, spill_nnz=0, mxu_frac=1.0,
+        S=S, spill_nnz=0, mxu_frac=1.0, passes=len(PASSES),
     )
     return (a_g, a_first, a_starts, a_mu, a_sl), local_fn

@@ -78,6 +78,19 @@ class HaloPlan:
         return int(self.npush.sum()) * TK
 
 
+def resolve_halo_precision(mxu_precision: str):
+    """Map ``SpmmConfig.mxu_precision`` to ``halo_spmm_local``'s precision
+    argument (None means HIGHEST for fp32 data) — one definition shared by
+    all three engines."""
+    import jax
+
+    if mxu_precision == "default":
+        return jax.lax.Precision.DEFAULT
+    if mxu_precision == "x3":
+        return "x3"
+    return None
+
+
 def align_displs(displs: np.ndarray, k: int) -> np.ndarray:
     """Round interior ownership boundaries to TK multiples (monotone)."""
     d = (np.asarray(displs, dtype=np.int64) + TK // 2) // TK * TK

@@ -241,6 +241,8 @@ static inline uint16_t f32_to_bf16(float f)
 {
     uint32_t u;
     std::memcpy(&u, &f, 4);
+    if ((u & 0x7F800000u) == 0x7F800000u && (u & 0x7FFFFFu))
+        return (uint16_t)((u >> 16) | 0x0040u);  // NaN stays NaN (quiet)
     return (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
 }
 

@@ -56,10 +56,10 @@ def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize):
     trip = (shard.rowptr, cc, shard.val)
     W, G, ok = _uniform_cost_estimate([trip], shard.nrow)
     TMr, Wcr = ragged_params()
+    S, spill, Gr = estimate_ragged(shard.rowptr, cc, TMr, Wcr)
     if ok:
         TM = 256
         bytes_uniform = G * TM * W * a_item
-        S, spill, Gr = estimate_ragged(shard.rowptr, cc, TMr, Wcr)
         bytes_ragged = S * TMr * Wcr * a_item
         if bytes_uniform <= 3 * max(bytes_ragged, 1):
             # uniform windowed path (with super-group B reuse the B term
@@ -69,7 +69,7 @@ def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize):
             flops = 2.0 * G * TM * W * n_pad * passes
             hbm = a_bytes + b_rows * n_pad * b_item + G * TM * n_pad * 4
             return hbm, flops, 0
-    S, spill, G = estimate_ragged(shard.rowptr, cc, TMr, Wcr)
+    G = Gr
     a_bytes = S * TMr * Wcr * a_item
     flops = 2.0 * S * TMr * Wcr * n_pad * passes
     hbm = a_bytes + S * Wcr * n_pad * b_item + G * TMr * n_pad * 4
