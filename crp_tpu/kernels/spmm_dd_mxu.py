@@ -34,7 +34,7 @@ import functools
 
 import numpy as np
 
-from .spmm_pallas import TK, UnsupportedSparsity
+from .spmm_pallas import TK, UnsupportedSparsity, assert_tpu_blockable
 
 QA = 7          # A slices (49 bits of the fp64 mantissa)
 QB = 7          # B slices (covers the 48-bit hi/lo pair exactly)
@@ -180,7 +180,7 @@ def _ragged_kernel_dd(
     bl = window[slot, 1]
     nu, b_slices = _extract_b_slices(bh, bl, jnp)
 
-    mu = mu_ref[0]                                            # (TM,)
+    mu = mu_ref[0, 0]                                         # (TM,)
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -241,7 +241,13 @@ def spmm_ragged_dd(
         _ragged_kernel_dd, Wc=Wc, TN=TN, NJ=NJ, S=S, n_pad=n_pad,
     )
     a_spec = pl.BlockSpec((1, TM, Wc), lambda j, s, *_: (s, 0, 0))
-    mu_spec = pl.BlockSpec((1, TM), lambda j, s, *_: (s, 0))
+    # mu rides as (S, 1, TM) so the block's trailing two dims (1, TM) equal
+    # the array dims — a 2-D (1, TM) block over (S, TM) violates the TPU
+    # lowering's "divisible by 8 or full-dim" rule when S % 8 != 0 (the
+    # interpreter does not enforce it; the real chip rejects it).
+    mu_spec = pl.BlockSpec((1, 1, TM), lambda j, s, *_: (s, 0, 0))
+    assert_tpu_blockable((1, 1, TM), (S, 1, TM))
+    assert_tpu_blockable((1, TM, Wc), (S, TM, Wc))
     out_spec = pl.BlockSpec((TM, TN), lambda j, s, g_ref, *_: (g_ref[s], j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # step_g, step_first, starts
@@ -271,7 +277,8 @@ def spmm_ragged_dd(
     )
     chi, clo = fn(
         jnp.asarray(step_g), jnp.asarray(step_first), jnp.asarray(starts),
-        jnp.asarray(mu), *[jnp.asarray(slices[p]) for p in range(QA)],
+        jnp.asarray(mu).reshape(S, 1, TM),
+        *[jnp.asarray(slices[p]) for p in range(QA)],
         b_packed,
     )
     return jnp.concatenate([chi[:, :n], clo[:, :n]], axis=1)

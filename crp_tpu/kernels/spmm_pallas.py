@@ -58,6 +58,21 @@ class UnsupportedSparsity(ValueError):
     """Shard shape does not fit the windowed kernel; use a fallback."""
 
 
+def assert_tpu_blockable(block_shape, array_shape):
+    """Trace-time check of the Mosaic BlockSpec rule the interpreter skips:
+    the last two block dims must be divisible by (8, 128) or equal the
+    corresponding array dims.  Catches on-chip-only lowering rejections in
+    the CPU-mesh test suite."""
+    for bdim, adim, quantum in zip(block_shape[-2:], array_shape[-2:],
+                                   (8, 128)):
+        if bdim != adim and bdim % quantum != 0:
+            raise ValueError(
+                f"block {tuple(block_shape)} over array {tuple(array_shape)}"
+                f" is not TPU-lowerable: trailing dim {bdim} is neither the"
+                f" full dim {adim} nor a multiple of {quantum}"
+            )
+
+
 @dataclasses.dataclass
 class WindowDense:
     """Host-side packed form of one shard for the windowed kernel."""

@@ -18,6 +18,20 @@ from crp_tpu.sparse.synth import banded_random_csr, powerlaw_community_csr
 from crp_tpu.utils.norms import rel_fro_err
 
 
+def test_blockspec_validator_matches_mosaic_rule():
+    from crp_tpu.kernels.spmm_pallas import assert_tpu_blockable
+
+    # legal: trailing two dims equal the array dims (mu rides as (S, 1, TM))
+    assert_tpu_blockable((1, 1, 128), (3402, 1, 128))
+    # legal: divisible by the (8, 128) quantum
+    assert_tpu_blockable((8, 128), (3400, 128))
+    # the exact shape the chip rejected for the r3 dd_mxu record: a (1, TM)
+    # block over (S, TM) with S % 8 != 0 lowers in the interpreter but not
+    # on hardware
+    with pytest.raises(ValueError, match="not TPU-lowerable"):
+        assert_tpu_blockable((1, 128), (3402, 128))
+
+
 def test_pass_schedule():
     # 34 exact passes, none beyond the slice planes, p+q <= 7
     assert len(PASSES) == 34
