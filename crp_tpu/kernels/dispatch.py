@@ -255,10 +255,127 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
         return _pack_ragged(shards, max_m, dtype, mxu_precision)
 
 
+def _pack_uniform_single_bf16(shard, max_m, mxu_precision):
+    """Single-shard bf16 operating points (``default`` / ``x3``): analyze
+    window extents, plan super-groups, then densify STRAIGHT to bf16
+    (hi/lo pair for x3) at the final padded group count — no fp32 tiles,
+    no stack/grow copies.  Every fresh output page is written exactly
+    once, which is what engine init time is made of on this VM (~100 MB/s
+    first-touch fault path; the r2 records carried 85-400 s packs from
+    the extra fp32 pass + single-threaded numpy copies).
+
+    Returns (arrays, local_fn) or None when infeasible / native missing
+    (the caller then runs the generic fp32 path with identical results).
+    """
+    import jax
+
+    from .. import native
+    from .spmm_pallas import (
+        TK, choose_chunks, plan_supergroups, sg_vmem_limit,
+        spmm_window_pallas_sg_bf16, spmm_window_pallas_sg_presplit,
+        window_extents,
+    )
+
+    rowptr, cc, v = shard
+    if len(rowptr) < 2 or int(rowptr[-1]) - int(rowptr[0]) == 0:
+        return None
+    if native._load() is None:
+        return None
+    TM, max_window = 256, 16384
+    nrow = len(rowptr) - 1
+    rowptr64 = np.ascontiguousarray(rowptr, dtype=np.int64)
+    min_t, W0 = window_extents(rowptr64, cc, TM)
+    if W0 > max_window:
+        return None  # generic path raises UnsupportedSparsity
+    W, _, _ = choose_chunks(W0)
+    G0 = -(-nrow // TM)
+    G = max(G0, -(-max_m // TM))
+    if G * W * TM * 4 > (8 << 30):
+        return None  # keep the generic fp32 cap check authoritative
+    split = mxu_precision == "x3"
+    win_itemsize = 4 if split else 2
+    ws_shard = (min_t * TK).astype(np.int32)
+    interpret = jax.default_backend() != "tpu"
+    sg_plan = plan_supergroups(
+        ws_shard, W, 256, win_itemsize,
+        vmem_budget=(4 << 20) if interpret else None,
+    )
+    if sg_plan is None:
+        return None  # the non-sg kernels take fp32 tiles
+    SG, Wsg, bases = sg_plan
+    Wc_sg = (
+        W if sg_vmem_limit(Wsg, W, TM, 256, win_itemsize) <= (112 << 20)
+        else None
+    )
+    sgc = -(-G // SG)
+    G_sg = sgc * SG
+    if len(bases) < sgc:
+        bases = np.concatenate(
+            [bases, np.full(sgc - len(bases), bases[-1], np.int32)]
+        )
+    got = native.pack_window_flat_bf16(
+        nrow, rowptr64, cc, np.asarray(v, np.float32),
+        TM, TK, max_window, G_sg, W, split,
+    )
+    if got is None:
+        return None
+    ws_full, ah0, al0, w0n = got
+    assert w0n == W0, (w0n, W0)
+    if G_sg > G0:  # pad-group window starts stay monotone and in-range
+        ws_full[G0:] = ws_full[G0 - 1]
+    ws, ah = ws_full[None], ah0[None]
+    al = al0[None] if split else None
+    min_b_rows = max(int(ws.max()) + W, int(bases.max()) + Wsg)
+
+    if split:
+        def local_fn(arrs, rB):
+            ws_i, ah_i, al_i, bases_i = arrs
+            c = spmm_window_pallas_sg_presplit(
+                ws_i, bases_i, ah_i, al_i, rB, SG, Wsg, W, TM,
+                Wc=Wc_sg, interpret=interpret,
+            )
+            return c.astype(rB.dtype)  # engines trim at unshard time
+
+        local_fn.min_b_rows = min_b_rows
+        local_fn.roofline = dict(
+            G=G_sg, TM=TM, W=W, a_bytes=ah.nbytes + al.nbytes,
+            b_rows_read=sgc * Wsg, c_rows=G_sg * TM, b_itemsize=4,
+            passes=3,
+        )
+        return (ws, ah, al, bases[None]), local_fn
+
+    import jax.numpy as jnp
+
+    def local_fn(arrs, rB):
+        ws_i, ah_i, bases_i = arrs
+        c = spmm_window_pallas_sg_bf16(
+            ws_i, bases_i, ah_i, rB.astype(jnp.bfloat16),
+            SG, Wsg, W, TM, Wc=Wc_sg, interpret=interpret,
+        )
+        return c.astype(rB.dtype)
+
+    local_fn.min_b_rows = min_b_rows
+    local_fn.roofline = dict(
+        G=G_sg, TM=TM, W=W, a_bytes=ah.nbytes,
+        b_rows_read=sgc * Wsg, c_rows=G_sg * TM, b_itemsize=2,
+        passes=1,
+    )
+    return (ws, ah, bases[None]), local_fn
+
+
 def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
     import jax
 
     n_passes = {"x3": 3, "highest": 6, "default": 1}.get(mxu_precision, 1)
+
+    if (
+        len(shards) == 1
+        and np.dtype(dtype) == np.float32
+        and mxu_precision in ("default", "x3")
+    ):
+        fast = _pack_uniform_single_bf16(shards[0], max_m, mxu_precision)
+        if fast is not None:
+            return fast
 
     from .spmm_pallas import pack_window_dense, spmm_window_pallas, WindowDense
 
@@ -281,13 +398,20 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
     G = max(max(p.G for p in real), -(-max_m // TM))
     # shared panel width must itself be chunk-exact for the k-loop
     W, _, _ = choose_chunks(max(p.W for p in real))
-    tiles = np.zeros((len(packs), G, TM, W), dtype=dtype)
     ws = np.zeros((len(packs), G), dtype=np.int32)
     for i, p in enumerate(packs):
-        if p is None:
-            continue
-        tiles[i, : p.G, :, : p.W] = p.tiles
-        ws[i, : p.G] = p.ws
+        if p is not None:
+            ws[i, : p.G] = p.ws
+    if len(packs) == 1 and packs[0].G == G and packs[0].W == W:
+        # single shard at final dims (every on-chip p=1 run): alias the
+        # pack's panels instead of re-copying GBs through the ~70 MB/s
+        # single-threaded host memcpy this VM measures
+        tiles = packs[0].tiles[None]
+    else:
+        tiles = np.zeros((len(packs), G, TM, W), dtype=dtype)
+        for i, p in enumerate(packs):
+            if p is not None:
+                tiles[i, : p.G, :, : p.W] = p.tiles
     min_b_rows = int(ws.max()) + W
     interpret = jax.default_backend() != "tpu"
     if mxu_precision == "x3" and np.dtype(dtype) == np.float32:
@@ -340,7 +464,13 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
         # stacked ws pads with zeros past the shard's real group count)
         ws[0, packs[0].G :] = ws[0, packs[0].G - 1]
         if G_sg > G:
-            tiles = np.pad(tiles, ((0, 0), (0, G_sg - G), (0, 0), (0, 0)))
+            from .. import native
+
+            grown = np.zeros((tiles.shape[0], G_sg, TM, W), tiles.dtype)
+            # sg runs only for len(packs)==1, so grown[:, :G] is contiguous
+            if not native.parallel_copy(grown[:, :G], tiles):
+                grown[:, :G] = tiles
+            tiles = grown
             ws = np.pad(ws, ((0, 0), (0, G_sg - G)), mode="edge")
         min_b_rows = max(min_b_rows, int(bases.max()) + Wsg)
 
@@ -505,8 +635,8 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
 
     from .spmm_pallas import UnsupportedSparsity
     from .spmm_ragged import (
-        pack_ragged_window, pack_spill, ragged_params,
-        spmm_ragged, spmm_ragged_bf16, spmm_ragged_presplit,
+        pack_ragged_window, pack_ragged_window_bf16, pack_spill,
+        ragged_params, spmm_ragged, spmm_ragged_bf16, spmm_ragged_presplit,
         spmm_spill_chunked,
     )
 
@@ -518,6 +648,15 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         Wc = min(Wc, 256)
     pack_dtype = np.float64 if np.dtype(dtype) == np.float64 else np.float32
 
+    # single-shard bf16 operating points densify straight to bf16 (no
+    # fp32 panel intermediate — every fresh output page written once)
+    want_bf16 = (
+        len(shards) == 1
+        and np.dtype(dtype) == np.float32
+        and mxu_precision in ("default", "x3")
+    )
+    direct_hi = direct_lo = None
+
     packs = []
     total_nnz = 0
     mxu_nnz = 0
@@ -528,6 +667,16 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
             packs.append(None)
             continue
         ncol = int(cc.max()) + 1 if len(cc) else 1
+        if want_bf16:
+            got = pack_ragged_window_bf16(
+                rowptr, cc, v, ncol, TM=TM, Wc=Wc,
+                split=(mxu_precision == "x3"),
+            )
+            if got is not None:
+                rw, direct_hi, direct_lo = got
+                mxu_nnz += rw.mxu_nnz
+                packs.append(rw)
+                continue
         rw = pack_ragged_window(
             rowptr, cc, v, ncol, TM=TM, Wc=Wc, dtype=pack_dtype
         )
@@ -556,10 +705,30 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         G,
     )
     p = len(shards)
-    panels = np.zeros((p, S, TM, Wc), pack_dtype)
-    for i, p_ in enumerate(packs):
-        if p_ is not None:
-            panels[i, : p_.S] = p_.panels
+    if direct_hi is not None:
+        from .. import native
+
+        def _stack_bf(x):
+            if x is None:
+                return None
+            if packs[0].S == S:
+                return x[None]  # no step padding: alias, zero copies
+            out = np.zeros((1, S, TM, Wc), x.dtype)
+            if not native.parallel_copy(out[0, : packs[0].S], x):
+                out[0, : packs[0].S] = x
+            return out
+
+        direct_hi, direct_lo = _stack_bf(direct_hi), _stack_bf(direct_lo)
+        panels = None
+    elif p == 1 and packs[0] is not None and packs[0].S == S:
+        # single shard with no step padding (every on-chip p=1 run): alias
+        # the pack's panels — see the uniform path's aliasing note
+        panels = packs[0].panels[None]
+    else:
+        panels = np.zeros((p, S, TM, Wc), pack_dtype)
+        for i, p_ in enumerate(packs):
+            if p_ is not None:
+                panels[i, : p_.S] = p_.panels
 
     Z = max((p_.spill_nnz for p_ in packs if p_ is not None), default=0)
     has_spill = Z > 0
@@ -588,7 +757,7 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         import jax.numpy as jnp
         from .spmm_pallas import np_bf16
 
-        ah = np_bf16(panels)
+        ah = direct_hi if direct_hi is not None else np_bf16(panels)
 
         def local_fn(arrs, rB):
             c = spmm_ragged_bf16(
@@ -603,7 +772,10 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
     elif mxu_precision == "x3" and is_f32:
         from .spmm_pallas import np_split_bf16
 
-        ah, al = np_split_bf16(panels)
+        if direct_hi is not None:
+            ah, al = direct_hi, direct_lo
+        else:
+            ah, al = np_split_bf16(panels)
 
         def local_fn(arrs, rB):
             c = spmm_ragged_presplit(
@@ -690,13 +862,19 @@ def _pack_dd_mxu(shards, max_m):
     p = len(shards)
     import ml_dtypes
 
-    a_mu = np.ones((p, S, TM), np.float32)
-    a_sl = np.zeros((p, QA, S, TM, Wc), ml_dtypes.bfloat16)
-    for i, item in enumerate(packs):
-        if item is not None:
-            rw, mu, sl = item
-            a_mu[i, : rw.S] = mu
-            a_sl[i, :, : rw.S] = sl
+    if p == 1 and packs[0] is not None and packs[0][0].S == S:
+        # single shard with no step padding: alias the slice planes (GBs)
+        # instead of re-copying through the slow single-threaded host path
+        a_mu = packs[0][1][None]
+        a_sl = packs[0][2][None]
+    else:
+        a_mu = np.ones((p, S, TM), np.float32)
+        a_sl = np.zeros((p, QA, S, TM, Wc), ml_dtypes.bfloat16)
+        for i, item in enumerate(packs):
+            if item is not None:
+                rw, mu, sl = item
+                a_mu[i, : rw.S] = mu
+                a_sl[i, :, : rw.S] = sl
 
     min_b_rows = int(a_starts.max()) + Wc
     kw = dict(G=G, TM=TM, Wc=Wc, interpret=interpret)

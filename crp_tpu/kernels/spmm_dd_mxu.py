@@ -49,6 +49,12 @@ def slice_a_f64(panels: np.ndarray):
     slices (QA, S, TM, Wc) bf16 integer planes).  Exact in fp64."""
     import ml_dtypes
 
+    from .. import native
+
+    got = native.dd_slice_f64(np.ascontiguousarray(panels, np.float64), QA)
+    if got is not None:
+        return got
+
     amax = np.abs(panels).max(axis=2)                    # (S, TM)
     # smallest power of two STRICTLY greater than amax -> |v| < 1
     _, e = np.frexp(amax)                                # amax < 2^e

@@ -94,6 +94,29 @@ class WindowDense:
         return self.W // TK
 
 
+def window_extents(rowptr: np.ndarray, colidx: np.ndarray, TM: int):
+    """Per-group [min, max] column-tile analysis, no densify: returns
+    (min_t (G,) int64 window start tiles, W0 raw window rows).  Derived
+    from per-row ranges (cols sorted per row -> first/last nnz of the row
+    are its extrema); O(nrow), no nnz pass."""
+    nrow = len(rowptr) - 1
+    G = -(-nrow // TM)
+    counts = np.diff(rowptr)
+    nonempty = counts > 0
+    row_min = np.full(nrow, np.iinfo(np.int64).max, dtype=np.int64)
+    row_max = np.full(nrow, -1, dtype=np.int64)
+    row_min[nonempty] = colidx[rowptr[:-1][nonempty]]
+    row_max[nonempty] = colidx[rowptr[1:][nonempty] - 1]
+    starts = np.arange(G) * TM
+    min_t = np.minimum.reduceat(row_min, starts) // TK
+    max_t = np.maximum.reduceat(row_max, starts) // TK
+    empty = max_t < 0
+    min_t = np.where(empty, 0, np.minimum(min_t, max_t))
+    max_t = np.where(empty, 0, max_t)
+    W0 = int(((max_t - min_t + 1).max()) * TK)
+    return min_t, W0
+
+
 def pack_window_dense(
     rowptr: np.ndarray,
     colidx: np.ndarray,
@@ -116,21 +139,7 @@ def pack_window_dense(
         raise UnsupportedSparsity("empty shard")
     G = -(-nrow // TM)
 
-    # per-group [min, max] column tile from per-row ranges (cols sorted per
-    # row -> first/last nnz of the row are its extrema); O(nrow), no nnz pass
-    counts = np.diff(rowptr)
-    nonempty = counts > 0
-    row_min = np.full(nrow, np.iinfo(np.int64).max, dtype=np.int64)
-    row_max = np.full(nrow, -1, dtype=np.int64)
-    row_min[nonempty] = colidx[rowptr[:-1][nonempty]]
-    row_max[nonempty] = colidx[rowptr[1:][nonempty] - 1]
-    starts = np.arange(G) * TM
-    min_t = np.minimum.reduceat(row_min, starts) // TK
-    max_t = np.maximum.reduceat(row_max, starts) // TK
-    empty = max_t < 0
-    min_t = np.where(empty, 0, np.minimum(min_t, max_t))
-    max_t = np.where(empty, 0, max_t)
-    W0 = int(((max_t - min_t + 1).max()) * TK)
+    min_t, W0 = window_extents(rowptr, colidx, TM)
     if W0 > max_window:
         raise UnsupportedSparsity(f"window {W0} rows > cap {max_window}")
     # round W up to a whole number of k-loop chunks so exec-time chunking
@@ -158,7 +167,7 @@ def pack_window_dense(
                 nrow=nrow, ncol=ncol, TM=TM, G=G, W=W, ws=ws_n, tiles=flat,
             )
 
-    r = np.repeat(np.arange(nrow, dtype=np.int64), counts)
+    r = np.repeat(np.arange(nrow, dtype=np.int64), np.diff(rowptr))
     c = np.asarray(colidx, dtype=np.int64)
     v = np.asarray(val, dtype=dtype)
     g = r // TM

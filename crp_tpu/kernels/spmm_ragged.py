@@ -202,11 +202,16 @@ def pack_ragged_window(
             f"ragged panels {panel_bytes >> 20} MiB > cap"
         )
 
-    val32 = np.asarray(val, dtype=np.float32)
     filled = None
     if np.dtype(dtype) == np.float32:
         filled = native.ragged_fill_f32(
-            rowptr, colidx, val32, TM, TK, Wc, G, starts, group_ptr, spill_nnz
+            rowptr, colidx, np.asarray(val, dtype=np.float32),
+            TM, TK, Wc, G, starts, group_ptr, spill_nnz,
+        )
+    elif np.dtype(dtype) == np.float64:
+        filled = native.ragged_fill_f64(
+            rowptr, colidx, np.asarray(val, dtype=np.float64),
+            TM, TK, Wc, G, starts, group_ptr, spill_nnz,
         )
     if filled is not None:
         panels, sp_rows, sp_cols, sp_vals = filled
@@ -254,6 +259,66 @@ def pack_ragged_window(
         panels=np.asarray(panels, dtype=dtype),
         spill=spill, mxu_nnz=nnz - spill_nnz, spill_nnz=spill_nnz,
     )
+
+
+def pack_ragged_window_bf16(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    val: np.ndarray,
+    ncol: int,
+    TM: int = 128,
+    Wc: int = 512,
+    split: bool = False,
+    min_chunk_nnz: int | None = None,
+    max_panel_bytes: int = 8 << 30,
+):
+    """Cover + densify straight to bf16 (split=False, the 1-pass point)
+    or a bf16 hi/lo pair (split=True, x3) — the fp32 panel intermediate
+    never materializes, halving engine-init fresh-page traffic (this
+    VM's first-touch fault path runs ~100 MB/s; see fastops.cpp).
+
+    Returns (rw, ah, al_or_None) with ``rw.panels`` left empty, or None
+    when the native path is unavailable (callers fall back to the fp32
+    pack + host-side conversion).
+    """
+    assert Wc % TK == 0, Wc
+    from .. import native
+
+    nrow = len(rowptr) - 1
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    nnz = int(rowptr[-1]) - int(rowptr[0])
+    if nnz == 0:
+        raise UnsupportedSparsity("empty shard")
+    if min_chunk_nnz is None:
+        min_chunk_nnz = default_min_chunk_nnz(TM, Wc)
+    G = max(-(-nrow // TM), 1)
+    got = native.ragged_cover(rowptr, colidx, TM, TK, Wc, min_chunk_nnz, G)
+    if got is None:
+        return None
+    starts, group_ptr, spill_nnz = got
+    S = len(starts)
+    panel_bytes = S * TM * Wc * (4 if split else 2)
+    if panel_bytes > max_panel_bytes:
+        raise UnsupportedSparsity(
+            f"ragged panels {panel_bytes >> 20} MiB > cap"
+        )
+    filled = native.ragged_fill_bf16(
+        rowptr, colidx, np.asarray(val, np.float32), TM, TK, Wc, G,
+        starts, group_ptr, spill_nnz, split,
+    )
+    if filled is None:
+        return None
+    ah, al, sp_rows, sp_cols, sp_vals = filled
+    spill_nnz = len(sp_rows)
+    spill = (sp_rows, sp_cols, sp_vals) if spill_nnz else None
+    rw = RaggedWindow(
+        nrow=nrow, ncol=ncol, TM=TM, G=G, Wc=Wc,
+        starts=starts, group_ptr=group_ptr,
+        panels=np.zeros((0, TM, Wc), np.float32),
+        spill=spill, mxu_nnz=nnz - spill_nnz, spill_nnz=spill_nnz,
+    )
+    return rw, ah, al
 
 
 def estimate_ragged(

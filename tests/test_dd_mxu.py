@@ -32,6 +32,23 @@ def test_blockspec_validator_matches_mosaic_rule():
         assert_tpu_blockable((1, 128), (3402, 128))
 
 
+def test_native_dd_slice_matches_numpy(monkeypatch):
+    from crp_tpu import native
+
+    if native._load() is None:
+        pytest.skip("native fastops unavailable")
+    rng = np.random.default_rng(11)
+    panels = rng.standard_normal((5, 8, 256)) * np.exp2(
+        rng.integers(-40, 40, (5, 8, 256))
+    )
+    panels[0, 0] = 0.0  # all-zero lane: mu must stay 1
+    mu_n, sl_n = slice_a_f64(panels)
+    monkeypatch.setattr(native, "dd_slice_f64", lambda *a, **k: None)
+    mu_p, sl_p = slice_a_f64(panels)
+    assert np.array_equal(mu_n, mu_p)
+    assert np.array_equal(sl_n.view(np.uint16), sl_p.view(np.uint16))
+
+
 def test_pass_schedule():
     # 34 exact passes, none beyond the slice planes, p+q <= 7
     assert len(PASSES) == 34
