@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-3 on-chip record queue, take 2 (serial: one TPU job at a time).
+# Re-records everything with the single-pass pack paths (init is now
+# pack ~3-45 s instead of 85-400 s) and the fixed dd_mxu block specs.
+cd /root/repo
+set -x
+
+# 1. consolidated matrix table rows: pwtk-class banded through the
+#    uniform/sg kernel at all three fp32 operating points + segsum.
+for PREC in highest x3 default; do
+  CRP_TPU_MXU_PREC=$PREC timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
+    synth:banded:217918:53:2500 256 1 --engine=rowpara --list=pallas \
+    --dtype=float32 --ntest=3 --inner=10 --project=1 \
+    --out=bench_results/r3_tpu_matrix.jsonl
+done
+timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
+  synth:banded:217918:53:2500 256 1 --engine=rowpara --list=segsum \
+  --dtype=float32 --ntest=3 --inner=5 --out=bench_results/r3_tpu_matrix.jsonl
+
+# 2. fp64-class on-chip: dd_mxu at a bandwidth-256 pwtk-class shape (the
+#    VPU dd ELL gather cannot fit it), plus a 50k-row shape where BOTH
+#    run for a rate comparison.
+timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
+  synth:banded:217918:53:256 256 1 --engine=rowpara --list=dd_mxu \
+  --dtype=float64 --ntest=3 --inner=5 --out=bench_results/r3_tpu_dd.jsonl
+timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
+  synth:banded:50000:53:256 256 1 --engine=rowpara --list=dd_mxu \
+  --dtype=float64 --ntest=3 --inner=5 --out=bench_results/r3_tpu_dd.jsonl
+CRP_TPU_DD_NO_MXU=1 timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
+  synth:banded:50000:53:256 256 1 --engine=rowpara --list=dd \
+  --dtype=float64 --ntest=3 --inner=5 --out=bench_results/r3_tpu_dd.jsonl
+
+# 3. cplaw (post-reorder social-graph analog) rows: ragged at all three
+#    operating points (segsum row already recorded in r3_tpu_plaw.jsonl).
+for PREC in highest x3 default; do
+  CRP_TPU_MXU_PREC=$PREC timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
+    synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
+    --dtype=float32 --ntest=3 --inner=10 --project=1 \
+    --out=bench_results/r3_tpu_matrix.jsonl
+done
+
+# 4. cage15-class reach: ~95M nnz packs + execs on one chip, bf16 then x3
+#    (panel-vs-CSR byte accounting in kernel_detail).
+CRP_TPU_MXU_PREC=default timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
+  synth:banded:2600000:39:150 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=5 --out=bench_results/r3_tpu_bigmat.jsonl
+CRP_TPU_MXU_PREC=x3 timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
+  synth:banded:2600000:39:150 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=5 --out=bench_results/r3_tpu_bigmat.jsonl
+
+# 5. spill-rate microbenchmark (sets the projection model's SPILL_NS)
+timeout 1800 python scripts/spill_microbench.py \
+  | tee -a bench_results/r3_tpu_spill.jsonl
+
+# 6. headline bench (records the init breakdown)
+timeout 3000 python bench.py | tee /tmp/r3_bench_headline.json
