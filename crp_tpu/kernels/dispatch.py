@@ -255,6 +255,41 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
         return _pack_ragged(shards, max_m, dtype, mxu_precision)
 
 
+def _sg_geometry(ws_shard, W, TM, win_itemsize, interpret, G):
+    """Shared super-group planning math for the generic fp32 path and the
+    direct-bf16 fast path — one definition so the two can never desync
+    (the fast path's contract is bit-identical kernel configs).
+
+    Returns (SG, Wsg, bases, Wc_sg, sgc, G_sg) or None when no plan.
+    """
+    from .spmm_pallas import plan_supergroups, sg_vmem_limit
+
+    # off-TPU the pallas interpreter's per-step cost scales with the
+    # scratch size — keep windows small there (correctness-only path)
+    sg_plan = plan_supergroups(
+        ws_shard, W, 256, win_itemsize,
+        vmem_budget=(4 << 20) if interpret else None,
+    )
+    if sg_plan is None:
+        return None
+    SG, Wsg, bases = sg_plan
+    # under super-grouping B slices come from the resident super-window,
+    # so the whole window as ONE k-chunk costs only A-pipeline VMEM and
+    # removes the per-chunk accumulate steps: measured 0.0138 -> 0.0129 s
+    # at the headline shape (bench_results/r2_tpu_sg_wc.jsonl)
+    Wc_sg = (
+        W if sg_vmem_limit(Wsg, W, TM, 256, win_itemsize) <= (112 << 20)
+        else None
+    )
+    sgc = -(-G // SG)
+    G_sg = sgc * SG
+    if len(bases) < sgc:  # shared G exceeds the shard's own group count
+        bases = np.concatenate(
+            [bases, np.full(sgc - len(bases), bases[-1], np.int32)]
+        )
+    return SG, Wsg, bases, Wc_sg, sgc, G_sg
+
+
 def _pack_uniform_single_bf16(shard, max_m, mxu_precision):
     """Single-shard bf16 operating points (``default`` / ``x3``): analyze
     window extents, plan super-groups, then densify STRAIGHT to bf16
@@ -271,9 +306,8 @@ def _pack_uniform_single_bf16(shard, max_m, mxu_precision):
 
     from .. import native
     from .spmm_pallas import (
-        TK, choose_chunks, plan_supergroups, sg_vmem_limit,
-        spmm_window_pallas_sg_bf16, spmm_window_pallas_sg_presplit,
-        window_extents,
+        TK, choose_chunks, spmm_window_pallas_sg_bf16,
+        spmm_window_pallas_sg_presplit, window_extents,
     )
 
     rowptr, cc, v = shard
@@ -296,23 +330,10 @@ def _pack_uniform_single_bf16(shard, max_m, mxu_precision):
     win_itemsize = 4 if split else 2
     ws_shard = (min_t * TK).astype(np.int32)
     interpret = jax.default_backend() != "tpu"
-    sg_plan = plan_supergroups(
-        ws_shard, W, 256, win_itemsize,
-        vmem_budget=(4 << 20) if interpret else None,
-    )
-    if sg_plan is None:
+    sg_geo = _sg_geometry(ws_shard, W, TM, win_itemsize, interpret, G)
+    if sg_geo is None:
         return None  # the non-sg kernels take fp32 tiles
-    SG, Wsg, bases = sg_plan
-    Wc_sg = (
-        W if sg_vmem_limit(Wsg, W, TM, 256, win_itemsize) <= (112 << 20)
-        else None
-    )
-    sgc = -(-G // SG)
-    G_sg = sgc * SG
-    if len(bases) < sgc:
-        bases = np.concatenate(
-            [bases, np.full(sgc - len(bases), bases[-1], np.int32)]
-        )
+    SG, Wsg, bases, Wc_sg, sgc, G_sg = sg_geo
     got = native.pack_window_flat_bf16(
         nrow, rowptr64, cc, np.asarray(v, np.float32),
         TM, TK, max_window, G_sg, W, split,
@@ -320,7 +341,13 @@ def _pack_uniform_single_bf16(shard, max_m, mxu_precision):
     if got is None:
         return None
     ws_full, ah0, al0, w0n = got
-    assert w0n == W0, (w0n, W0)
+    if w0n != W0 or not np.array_equal(ws_full[:G0], ws_shard):
+        # the numpy extents assume per-row-sorted columns; the native scan
+        # reads every nnz.  A disagreement (user-built CSR with unsorted
+        # rows) would leave `bases` (planned from the numpy ws) mutually
+        # inconsistent with the shipped ws — fall back to the generic
+        # path, which derives both from one scan.
+        return None
     if G_sg > G0:  # pad-group window starts stay monotone and in-range
         ws_full[G0:] = ws_full[G0 - 1]
     ws, ah = ws_full[None], ah0[None]
@@ -425,7 +452,7 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
 
     # single-shard packs with monotone windows use the super-grouped
     # variant: one B super-window DMA feeds SG groups (B traffic / ~SG)
-    sg_plan = None
+    sg_geo = None
     # the bf16 1-pass kernel DMAs a single 2-byte window; the others hold
     # the window at the data itemsize (fp32) or as a bf16 hi/lo PAIR —
     # budget and Wc feasibility must use the actual per-slot bytes
@@ -434,32 +461,13 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
     )
     win_itemsize = 2 if is_bf16_1pass else np.dtype(dtype).itemsize
     if len(packs) == 1 and packs[0] is not None:
-        from .spmm_pallas import plan_supergroups
-
-        # off-TPU the pallas interpreter's per-step cost scales with the
-        # scratch size — keep windows small there (correctness-only path)
-        sg_plan = plan_supergroups(
-            ws[0, : packs[0].G], W, 256, win_itemsize,
-            vmem_budget=(4 << 20) if interpret else None,
+        sg_geo = _sg_geometry(
+            ws[0, : packs[0].G], W, TM, win_itemsize, interpret, G
         )
-    if sg_plan is not None:
-        from .spmm_pallas import sg_vmem_limit, spmm_window_pallas_sg
+    if sg_geo is not None:
+        from .spmm_pallas import spmm_window_pallas_sg
 
-        SG, Wsg, bases = sg_plan
-        # under super-grouping B slices come from the resident super-window,
-        # so the whole window as ONE k-chunk costs only A-pipeline VMEM and
-        # removes the per-chunk accumulate steps: measured 0.0138 -> 0.0129 s
-        # at the headline shape (bench_results/r2_tpu_sg_wc.jsonl)
-        Wc_sg = (
-            W if sg_vmem_limit(Wsg, W, TM, 256, win_itemsize) <= (112 << 20)
-            else None
-        )
-        sgc = -(-G // SG)
-        G_sg = sgc * SG
-        if len(bases) < sgc:  # shared G exceeds the shard's own group count
-            bases = np.concatenate(
-                [bases, np.full(sgc - len(bases), bases[-1], np.int32)]
-            )
+        SG, Wsg, bases, Wc_sg, sgc, G_sg = sg_geo
         # pad-group window starts must stay monotone and in-range (the
         # stacked ws pads with zeros past the shard's real group count)
         ws[0, packs[0].G :] = ws[0, packs[0].G - 1]

@@ -252,8 +252,8 @@ def spmm_ragged_dd(
     # lowering's "divisible by 8 or full-dim" rule when S % 8 != 0 (the
     # interpreter does not enforce it; the real chip rejects it).
     mu_spec = pl.BlockSpec((1, 1, TM), lambda j, s, *_: (s, 0, 0))
-    assert_tpu_blockable((1, 1, TM), (S, 1, TM))
-    assert_tpu_blockable((1, TM, Wc), (S, TM, Wc))
+    assert_tpu_blockable((1, 1, TM), (S, 1, TM), itemsize=4)   # mu fp32
+    assert_tpu_blockable((1, TM, Wc), (S, TM, Wc), itemsize=2)  # bf16 slices
     out_spec = pl.BlockSpec((TM, TN), lambda j, s, g_ref, *_: (g_ref[s], j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # step_g, step_first, starts

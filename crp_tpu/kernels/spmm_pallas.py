@@ -58,13 +58,17 @@ class UnsupportedSparsity(ValueError):
     """Shard shape does not fit the windowed kernel; use a fallback."""
 
 
-def assert_tpu_blockable(block_shape, array_shape):
+def assert_tpu_blockable(block_shape, array_shape, itemsize: int = 4):
     """Trace-time check of the Mosaic BlockSpec rule the interpreter skips:
-    the last two block dims must be divisible by (8, 128) or equal the
-    corresponding array dims.  Catches on-chip-only lowering rejections in
-    the CPU-mesh test suite."""
-    for bdim, adim, quantum in zip(block_shape[-2:], array_shape[-2:],
-                                   (8, 128)):
+    the last two block dims must be divisible by the (sublane, lane)
+    quantum — (32 // itemsize * 8 // 8 = 8 for fp32, 16 for 2-byte types,
+    lane always 128) — or equal the corresponding array dims.  Catches
+    on-chip-only lowering rejections in the CPU-mesh test suite."""
+    sublane = {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
+    quanta = (sublane, 128)
+    # right-align: a rank-1 block only constrains the lane dim
+    pairs = list(zip(block_shape[-2:], array_shape[-2:]))
+    for (bdim, adim), quantum in zip(pairs, quanta[-len(pairs):]):
         if bdim != adim and bdim % quantum != 0:
             raise ValueError(
                 f"block {tuple(block_shape)} over array {tuple(array_shape)}"

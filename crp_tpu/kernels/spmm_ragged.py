@@ -298,11 +298,20 @@ def pack_ragged_window_bf16(
         return None
     starts, group_ptr, spill_nnz = got
     S = len(starts)
-    panel_bytes = S * TM * Wc * (4 if split else 2)
+    # fp32-bytes cap on purpose: kernel selection must not depend on
+    # whether the native direct-bf16 path is available (the fp32 fallback
+    # applies this same cap), so bf16's smaller footprint is not used to
+    # admit matrices the fallback would reject
+    panel_bytes = S * TM * Wc * 4
     if panel_bytes > max_panel_bytes:
         raise UnsupportedSparsity(
             f"ragged panels {panel_bytes >> 20} MiB > cap"
         )
+    # the native fill stages one group's chunks in fp32; bound the
+    # transient (hub-heavy groups can hold most of the matrix's width)
+    max_nch = int(np.diff(group_ptr).max()) if G else 1
+    if max_nch * TM * Wc * 4 > (1 << 30):
+        return None
     filled = native.ragged_fill_bf16(
         rowptr, colidx, np.asarray(val, np.float32), TM, TK, Wc, G,
         starts, group_ptr, spill_nnz, split,

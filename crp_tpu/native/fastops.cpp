@@ -189,6 +189,11 @@ int64_t crp_ragged_cover(
 // Returns the spilled count.
 }  // extern "C" — template below, C entry points reopen after
 
+// RNE bf16 hi/lo split shared by crp_bf16_split and the direct-pack
+// conversion loops — bit-parity of the pack paths with np_split_bf16
+// depends on every user going through this one definition.
+static inline void split_bf16_one(float x, uint16_t* hi, uint16_t* lo);
+
 static inline uint16_t f32_to_bf16(float f)
 {
     uint32_t u;
@@ -196,6 +201,17 @@ static inline uint16_t f32_to_bf16(float f)
     if ((u & 0x7F800000u) == 0x7F800000u && (u & 0x7FFFFFu))
         return (uint16_t)((u >> 16) | 0x0040u);  // NaN stays NaN (quiet)
     return (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+}
+
+static inline void split_bf16_one(float x, uint16_t* hi, uint16_t* lo)
+{
+    uint32_t u;
+    std::memcpy(&u, &x, 4);
+    uint32_t rr = (u + 0x7FFFu + ((u >> 16) & 1u)) & 0xFFFF0000u;
+    *hi = (uint16_t)(rr >> 16);
+    float h;
+    std::memcpy(&h, &rr, 4);
+    *lo = f32_to_bf16(x - h);
 }
 
 // Shared ragged-fill skeleton: spill counting pass, then per-group
@@ -281,16 +297,9 @@ static int64_t ragged_fill_impl(
                             ah[base + i] = f32_to_bf16(st[i]);
                 } else {
                     for (int64_t i = 0; i < n; i++) {
-                        float x = st[i];
-                        if (x == 0.0f) continue;
-                        uint32_t u;
-                        std::memcpy(&u, &x, 4);
-                        uint32_t rr =
-                            (u + 0x7FFFu + ((u >> 16) & 1u)) & 0xFFFF0000u;
-                        ah[base + i] = (uint16_t)(rr >> 16);
-                        float hi;
-                        std::memcpy(&hi, &rr, 4);
-                        al[base + i] = f32_to_bf16(x - hi);
+                        if (st[i] != 0.0f)
+                            split_bf16_one(st[i], &ah[base + i],
+                                           &al[base + i]);
                     }
                 }
             }
@@ -379,16 +388,9 @@ int64_t crp_pack_window_flat_bf16(
                         ah[base + i] = f32_to_bf16(stage[i]);
             } else {
                 for (int64_t i = 0; i < n; i++) {
-                    float x = stage[i];
-                    if (x == 0.0f) continue;
-                    uint32_t u;
-                    std::memcpy(&u, &x, 4);
-                    uint32_t rr =
-                        (u + 0x7FFFu + ((u >> 16) & 1u)) & 0xFFFF0000u;
-                    ah[base + i] = (uint16_t)(rr >> 16);
-                    float hi;
-                    std::memcpy(&hi, &rr, 4);
-                    al[base + i] = f32_to_bf16(x - hi);
+                    if (stage[i] != 0.0f)
+                        split_bf16_one(stage[i], &ah[base + i],
+                                       &al[base + i]);
                 }
             }
         }
@@ -489,15 +491,7 @@ void crp_bf16_cast(int64_t n, const float* x, uint16_t* out)
 void crp_bf16_split(int64_t n, const float* x, uint16_t* ah, uint16_t* al)
 {
 #pragma omp parallel for schedule(static)
-    for (int64_t i = 0; i < n; i++) {
-        uint32_t u;
-        std::memcpy(&u, &x[i], 4);
-        uint32_t r = (u + 0x7FFFu + ((u >> 16) & 1u)) & 0xFFFF0000u;
-        ah[i] = (uint16_t)(r >> 16);
-        float hi;
-        std::memcpy(&hi, &r, 4);
-        al[i] = f32_to_bf16(x[i] - hi);
-    }
+    for (int64_t i = 0; i < n; i++) split_bf16_one(x[i], &ah[i], &al[i]);
 }
 
 // Matrix Market coordinate parser.  Two-phase: stat then read.

@@ -30,6 +30,13 @@ def test_blockspec_validator_matches_mosaic_rule():
     # on hardware
     with pytest.raises(ValueError, match="not TPU-lowerable"):
         assert_tpu_blockable((1, 128), (3402, 128))
+    # sublane quantum is dtype-dependent: 8 rows passes for fp32 but not
+    # for 2-byte types (16), and a rank-1 block constrains the lane dim
+    assert_tpu_blockable((16, 128), (3400, 128), itemsize=2)
+    with pytest.raises(ValueError, match="not TPU-lowerable"):
+        assert_tpu_blockable((8, 128), (3400, 128), itemsize=2)
+    with pytest.raises(ValueError, match="not TPU-lowerable"):
+        assert_tpu_blockable((8,), (3402,))
 
 
 def test_native_dd_slice_matches_numpy(monkeypatch):
