@@ -121,6 +121,7 @@ def calc_bandwidth_part2d(
     k: int,
     rowptr: np.ndarray,
     row_ranges: np.ndarray,
+    dbg_print: bool = False,
 ) -> BandwidthPlan:
     """Greedy split-M / split-N search with bandwidth-bound B cost.
 
@@ -128,6 +129,10 @@ def calc_bandwidth_part2d(
     the reference's v1 semantics — ``CSRMatrix.row_col_ranges_v1()`` /
     ``DistCSR.row_col_ranges_v1()`` (the engine allgathers these at init,
     ``deprecated/src/crpspmm.c:107-131``).
+
+    ``dbg_print`` dumps the per-factor cost comparison in the style of
+    the reference's standalone driver
+    (``deprecated/examples/crpspmm_calc_partition.c:60-116``).
     """
     rowptr = np.asarray(rowptr)
     row_ranges = np.asarray(row_ranges)
@@ -140,11 +145,16 @@ def calc_bandwidth_part2d(
     nfac = len(fac)
     for i in range(nfac):
         p_i = fac[nfac - 1 - i]
+        if dbg_print:
+            print(f"step {i}: factor {p_i}")
         # Split N: B copies unchanged, A copies multiplied by p_i
         a_copy_cost1 = int(float(a_nnz) * float(n_split) * NNZ_COST_FACTOR)
         split_n_cost = (a_copy_cost1 * p_i + curr_copy_b) % _M64
         if n_split * p_i > n:
             split_n_cost = SIZE_MAX
+        if dbg_print:
+            print(f"  split-N cost: copy A = {a_copy_cost1 * p_i}, "
+                  f"copy B = {curr_copy_b}, total = {split_n_cost}")
         # Split M: A copies unchanged, recompute panel B ranges
         trial_m = m_split * p_i
         if trial_m > m:
@@ -165,6 +175,14 @@ def calc_bandwidth_part2d(
                 windows = _panel_b_windows(row_ranges, idx2)
                 copy_b2 = _copy_b_size(windows, n)
                 split_m_cost = (a_copy_cost1 + copy_b2) % _M64
+                if dbg_print:
+                    for j in range(trial_m):
+                        w0, w1 = int(windows[j, 0]), int(windows[j, 1])
+                        print(
+                            f"  row block {j}: rows [{idx2[j]}, "
+                            f"{idx2[j + 1]}), B rows to copy: "
+                            f"[{w0}, {w1}) ({w1 - w0})"
+                        )
         if split_m_cost == SIZE_MAX and split_n_cost == SIZE_MAX:
             # neither axis can absorb this factor (M split exceeds m or
             # degenerates on trailing-nnz quota collapse; N split exceeds
@@ -176,12 +194,19 @@ def calc_bandwidth_part2d(
                 f"or degenerate trailing-nnz quotas) and "
                 f"n_split={n_split}*{p_i} > n={n}; reduce nproc"
             )
+        if dbg_print:
+            print(f"  split-M cost: copy A = {a_copy_cost1}, "
+                  f"copy B = {copy_b2}, total = {split_m_cost}")
         if split_m_cost < split_n_cost:
             m_split = trial_m
             curr_copy_b = copy_b2
             m_split_idx = idx2
         else:
             n_split *= p_i
+        if dbg_print:
+            axis = "M" if split_m_cost < split_n_cost else "N"
+            print(f"  -> split {axis}: m_split = {m_split}, "
+                  f"n_split = {n_split}\n")
 
     windows = _panel_b_windows(row_ranges, m_split_idx)
     return BandwidthPlan(

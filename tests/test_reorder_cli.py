@@ -246,3 +246,23 @@ def test_suite_cli_crp_dd_correct(devices8, capsys):
     (rec,) = [json.loads(l) for l in lines]
     assert "error" not in rec, rec
     assert rec["rel_fro_err"] <= 1e-12
+
+
+def test_calc_partition_cli(capsys):
+    """The standalone v1 planner driver prints the reference's per-factor
+    trace (crpspmm_calc_partition.c:60-116) and the final grid."""
+    from crp_tpu.cli.calc_partition_cli import main
+
+    rc = main(["synth:banded:2000:8:40", "64", "6"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "bandwidth = 40" in out
+    assert "split-N cost" in out and "split-M cost" in out
+    assert "B rows to copy" in out
+    assert "Final grid: 6 row panels x 1" in out
+
+
+def test_calc_partition_cli_usage(capsys):
+    from crp_tpu.cli.calc_partition_cli import main
+
+    assert main([]) == 255
