@@ -48,6 +48,14 @@ CRP_TPU_MXU_PREC=x3 timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
   synth:banded:2600000:39:150 256 1 --engine=rowpara --list=ragged \
   --dtype=float32 --ntest=3 --inner=5 --out=bench_results/r3_tpu_bigmat.jsonl
 
+# 4b. per-round halo-kernel on-chip regression (p=1 is the only shape one
+#     chip can run; semaphore threading through repeated execs is the
+#     thing being guarded — VERDICT r2 Weak #3)
+timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
+  synth:banded:50000:53:256 256 1 --engine=rowpara --list=pallas_halo \
+  --dtype=float32 --ntest=3 --inner=5 \
+  --out=bench_results/r3_tpu_halo_smoke.jsonl
+
 # 5. spill-rate microbenchmark (sets the projection model's SPILL_NS)
 timeout 1800 python scripts/spill_microbench.py \
   | tee -a bench_results/r3_tpu_spill.jsonl
