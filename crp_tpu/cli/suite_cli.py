@@ -331,6 +331,7 @@ def main(argv=None) -> int:
                 comm_cost=int(pl.comm_cost),
             )
         rec["sweep"] = sweep
+        rec["spec"] = pos[1]  # matrix source (file path or synth:spec)
         line = json.dumps(rec)
         print(line, flush=True)
         if out:
