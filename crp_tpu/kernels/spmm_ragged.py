@@ -93,18 +93,28 @@ def ragged_params() -> tuple[int, int]:
 def default_min_chunk_nnz(TM: int, Wc: int) -> int:
     """Break-even nnz for keeping a chunk on the MXU.
 
-    Measured on chip (r3, 786k-node cplaw): a kept chunk costs ~1.1 us
-    per exec (A panel ~TM*Wc bf16 pair + B chunk Wc*n streamed at HBM
-    rate) while a spilled nnz costs ~21 ns through the sorted segment-sum
-    gather — break-even ~55 nnz at (128, 512).  ``TM*Wc/1024`` tracks
-    that; override with ``CRP_TPU_RAGGED_MIN_NNZ``.
+    Physical model: a kept chunk streams its A panel (``TM*Wc`` fp32-byte
+    equivalent — bf16 hi/lo pair at x3, fp32 at HIGHEST) plus its B chunk
+    (``Wc*n`` fp32) from HBM, while a spilled nnz costs ~21 ns through the
+    sorted segment-sum gather (both measured on chip, r3 786k-node cplaw:
+    chunk ~1.1 us at (128, 512), spill ~21 ns/nnz).  The B term dominates
+    and is TM-independent — taller row groups amortize it, which the old
+    ``TM*Wc/1024`` heuristic missed.  n is not known at pack time; the
+    reference's standard n = 256 is assumed (the breakpoint moves slowly
+    with n).  Rates follow the projection model's measured effective
+    numbers (``CRP_PROJ_HBM_GBPS`` / ``CRP_PROJ_SPILL_NS``); override the
+    result directly with ``CRP_TPU_RAGGED_MIN_NNZ``.
     """
     import os
 
     env = os.environ.get("CRP_TPU_RAGGED_MIN_NNZ")
     if env is not None:
         return max(1, int(env))
-    return max(8, (TM * Wc) // 1024)
+    hbm = float(os.environ.get("CRP_PROJ_HBM_GBPS", 623)) * 1e9
+    spill_ns = float(os.environ.get("CRP_PROJ_SPILL_NS", 21))
+    n_ref = 256
+    chunk_s = (TM * Wc + Wc * n_ref) * 4.0 / hbm
+    return max(8, int(np.ceil(chunk_s / (spill_ns * 1e-9))))
 
 
 def _cover_group_np(cols_sorted: np.ndarray, Wc: int) -> list[int]:

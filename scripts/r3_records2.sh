@@ -39,6 +39,18 @@ for PREC in highest x3 default; do
     --out=bench_results/r3_tpu_matrix.jsonl
 done
 
+# 3b. ragged geometry A/B on cplaw: taller row groups amortize the
+#     TM-independent B-chunk traffic (host cost model: chunk time halves
+#     at TM=512; spill is geometry-invariant at 2.04M nnz)
+for TMWC in "512 256" "256 512"; do
+  set -- $TMWC
+  CRP_TPU_MXU_PREC=x3 CRP_TPU_RAGGED_TM=$1 CRP_TPU_RAGGED_WC=$2 \
+    timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
+    synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
+    --dtype=float32 --ntest=3 --inner=10 \
+    --out=bench_results/r3_tpu_plaw_tm.jsonl
+done
+
 # 4. cage15-class reach: ~95M nnz packs + execs on one chip, bf16 then x3
 #    (panel-vs-CSR byte accounting in kernel_detail).
 CRP_TPU_MXU_PREC=default timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
