@@ -17,6 +17,13 @@ timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
   synth:banded:217918:53:2500 256 1 --engine=rowpara --list=segsum \
   --dtype=float32 --ntest=3 --inner=5 --out=bench_results/r3_tpu_matrix.jsonl
 
+# 1b. Fig.7-analog n-sweep at the headline x3 point (r2 ran it at
+#     `highest` only — VERDICT r2 Weak #5); pack is memoized across n.
+CRP_TPU_MXU_PREC=x3 timeout 3600 python -m crp_tpu.cli.suite_cli vary_n \
+  synth:banded:217918:53:2500 1 --engine=rowpara --kernel=pallas \
+  --ns=16,64,256,1024,2048 --ntest=3 --inner=10 --plan-procs=8 \
+  --out=bench_results/r3_tpu_matrix.jsonl
+
 # 2. fp64-class on-chip: dd_mxu at a bandwidth-256 pwtk-class shape (the
 #    VPU dd ELL gather cannot fit it), plus a 50k-row shape where BOTH
 #    run for a rate comparison.
