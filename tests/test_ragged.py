@@ -229,3 +229,16 @@ def test_engine_ragged_kernel(p, devices8):
     # roofline record carries the hybrid accounting
     rl = eng._local_fn.roofline
     assert 0 < rl["mxu_frac"] <= 1 and rl["S"] >= rl["G"]
+
+
+def test_break_even_amortizes_tall_groups():
+    """The physical break-even model: the B-chunk term (Wc*n) dominates
+    and is TM-independent, so quadrupling TM must far less than quadruple
+    the keep threshold (the old TM*Wc/1024 heuristic scaled linearly)."""
+    from crp_tpu.kernels.spmm_ragged import default_min_chunk_nnz
+
+    be128 = default_min_chunk_nnz(128, 512)
+    be512 = default_min_chunk_nnz(512, 512)
+    assert be512 < 2.1 * be128
+    # and the measured r3 break-even (~52-60 nnz at (128, 512)) is matched
+    assert 40 <= be128 <= 80
