@@ -39,7 +39,8 @@ def classify(rec):
 
 
 def fmt(rec):
-    t = rec["exec_s"]["min"]
+    ex = rec["exec_s"]
+    t = ex["min"] if isinstance(ex, dict) else float(ex)
     prec = (rec.get("roofline") or {}).get("mxu_prec")
     kern = rec.get("kernel_resolved", rec.get("kernel"))
     if rec.get("dtype") == "float64":
@@ -67,6 +68,8 @@ def main(files):
                     rec = json.loads(line)
                     if "error" in rec or "exec_s" not in rec:
                         continue
+                    if rec.get("matrix", {}).get("m") is None:
+                        continue  # foreign schema (microbench rows etc.)
                     rows.append(fmt(rec))
         except FileNotFoundError:
             print(f"(skipping missing {f})", file=sys.stderr)
