@@ -307,7 +307,9 @@ class Para2dSpmm:
         bspec = P("pm", "pn", None, None)
 
         if self.is_halo:
-            from ..kernels.spmm_halo import halo_spmm_local
+            from ..kernels.spmm_halo import (
+                halo_spmm_local, resolve_halo_precision,
+            )
 
             hp = self.hplan
             interpret = jax.default_backend() != "tpu"
@@ -315,13 +317,7 @@ class Para2dSpmm:
                 p=self.pm, pn_size=self.pn, TM=hp.TM, G=hp.G, W=hp.W,
                 Wc=hp.Wc, C_panel=hp.C_panel, TN=self._tn,
                 interpret=interpret,
-                precision=(
-                    jax.lax.Precision.DEFAULT
-                    if self.config.mxu_precision == "default"
-                    else self.config.mxu_precision
-                    if self.config.mxu_precision == "x3"
-                    else None
-                ),
+                precision=resolve_halo_precision(self.config.mxu_precision),
             )
 
             def local(*args):

@@ -187,40 +187,42 @@ class RowParaSpmm:
             # the self-part pallas kernel DMAs windows out of b_loc directly
             self.max_k = max(self.max_k, self.ring.min_b_rows)
         else:
-            # compact local column indices into the rB coordinate space
-            shards_compact = []
-            for i, s in enumerate(shards):
-                if reidx:
-                    cc = np.searchsorted(
-                        self.xplan.rowmap[i], s.colidx
-                    ).astype(np.int32)
-                else:
-                    cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
-                shards_compact.append((s.rowptr, cc, s.val))
             # memoize the pack + device upload on the matrix object: the
             # packed arrays depend only on (matrix content, partition,
             # kernel, precision, dtype) — an n-sweep or repeated init
             # re-uses them (init is pack+upload-bound at headline scale,
-            # r2 vary_n records).  Content is keyed by a sampled
-            # fingerprint (catches in-place reorders/value edits — e.g.
-            # plan_from_csr(method="metis") permutes in place — without a
-            # full O(nnz) hash) plus every pack-affecting env knob.
+            # r2 vary_n records).  Content is keyed by full digests of
+            # rowptr/colidx/val (blake2b streams ~1 GB/s over the warm
+            # arrays — small next to the pack itself, and in-place edits
+            # such as plan_from_csr(method="metis")'s permute can never
+            # slip through, which the earlier sampled fingerprint allowed)
+            # plus every pack-affecting env knob.  At most ONE entry is
+            # kept: a new key evicts the old pack so multi-config sweeps
+            # on a big matrix don't accumulate multi-GB device arrays
+            # (the entry holds live HBM references).
+            import hashlib
             import os
 
-            stride = max(1, a.nnz // 1024)
+            def _digest(*arrs):
+                h = hashlib.blake2b(digest_size=16)
+                for x in arrs:
+                    h.update(np.ascontiguousarray(x))
+                return h.digest()
+
             cache_key = (
                 "rowpara_pack", kind, self.config.mxu_precision,
                 str(self.dtype), reidx, self.axis,
                 self.A_row_displs.tobytes(), self.B_row_displs.tobytes(),
                 tuple(d.id for d in self.mesh.devices.flat),
                 a.nnz,
-                a.val[::stride].tobytes(), a.colidx[::stride].tobytes(),
+                _digest(a.rowptr, a.colidx, a.val),
                 tuple(
                     os.environ.get(k)
                     for k in (
                         "CRP_TPU_RAGGED_TM", "CRP_TPU_RAGGED_WC",
                         "CRP_TPU_RAGGED_MIN_NNZ", "CRP_TPU_RAGGED_MIN_PCT",
                         "CRP_TPU_DD_NO_MXU", "CRP_TPU_SG_BUDGET",
+                        "CRP_PROJ_HBM_GBPS", "CRP_PROJ_SPILL_NS",
                     )
                 ),
             )
@@ -234,6 +236,20 @@ class RowParaSpmm:
                     getattr(self._local_fn, "min_b_rows", 1), 1,
                 )
             else:
+                cache.clear()  # single-slot: drop the old pack's HBM refs
+                # compact local column indices into the rB coordinate
+                # space (cache misses only — O(nnz) remap + copies)
+                shards_compact = []
+                for i, s in enumerate(shards):
+                    if reidx:
+                        cc = np.searchsorted(
+                            self.xplan.rowmap[i], s.colidx
+                        ).astype(np.int32)
+                    else:
+                        cc = (
+                            s.colidx - int(self.xplan.rowmap[i])
+                        ).astype(np.int32)
+                    shards_compact.append((s.rowptr, cc, s.val))
                 try:
                     with tb.phase("pack"):
                         arrays, self._local_fn = pack_local_kernel(

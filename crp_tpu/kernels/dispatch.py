@@ -813,7 +813,11 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
     local_fn.roofline = dict(
         G=G, TM=TM, W=Wc, a_bytes=a_bytes,
         b_rows_read=S * Wc, c_rows=G * TM, b_itemsize=b_itemsize,
-        S=S, spill_nnz=Z * p,
+        S=S,
+        # true total across shards (records); max is the per-chip padded
+        # size and the roofline-relevant term
+        spill_nnz=sum(p_.spill_nnz for p_ in packs if p_ is not None),
+        spill_max=Z,
         mxu_frac=mxu_nnz / total_nnz,
         passes={"x3": 3, "highest": 6, "default": 1}.get(mxu_precision, 1),
     )
@@ -856,7 +860,7 @@ def _pack_dd_mxu(shards, max_m):
 
     G = max(
         -(-max_m // TM),
-        max((rw.G for rw, _, _ in packs if rw is not None), default=1),
+        max((item[0].G for item in packs if item is not None), default=1),
     )
     a_g, a_first, a_starts, S = _extend_and_stack_steps(
         [

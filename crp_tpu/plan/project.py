@@ -58,13 +58,20 @@ def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize):
     TMr, Wcr = ragged_params()
     S, spill, Gr = estimate_ragged(shard.rowptr, cc, TMr, Wcr)
     if ok:
+        # mirror dispatch._pack_pallas's selection gate exactly: the
+        # uniform-vs-ragged byte comparison (at the pack dtype's fp32
+        # itemsize) only runs for wide/large windows; small feasible
+        # windows always take the uniform path
         TM = 256
-        bytes_uniform = G * TM * W * a_item
-        bytes_ragged = S * TMr * Wcr * a_item
-        if bytes_uniform <= 3 * max(bytes_ragged, 1):
+        bytes_uniform_gate = G * TM * W * itemsize
+        take_uniform = True
+        if W > 4096 or bytes_uniform_gate > (1 << 30):
+            bytes_ragged_gate = S * TMr * Wcr * itemsize
+            take_uniform = bytes_uniform_gate <= 3 * max(bytes_ragged_gate, 1)
+        if take_uniform:
             # uniform windowed path (with super-group B reuse the B term
             # approaches one window sweep; without it, G * W rows)
-            a_bytes = bytes_uniform
+            a_bytes = G * TM * W * a_item
             b_rows = G * W
             flops = 2.0 * G * TM * W * n_pad * passes
             hbm = a_bytes + b_rows * n_pad * b_item + G * TM * n_pad * 4
@@ -95,10 +102,14 @@ def project_exec_1d(
     tn = 256 if n % 256 == 0 else 128
     n_pad = -(-n // tn) * tn
 
+    # A slicing uses the row partition as-is; B ownership extends the last
+    # slab to ncol like RowParaSpmm (rowpara.py:97-99) — one shared array
+    # would crash row_slice on rectangular matrices (ncol != nrow)
     displs = csr_row_partition(a.rowptr, p)
-    if int(displs[-1]) < a.ncol:
-        displs = displs.copy()
-        displs[-1] = a.ncol
+    b_displs = displs
+    if int(b_displs[-1]) < a.ncol:
+        b_displs = b_displs.copy()
+        b_displs[-1] = a.ncol
     shards = [
         a.row_slice(int(displs[i]), int(displs[i + 1])) for i in range(p)
     ]
@@ -115,7 +126,9 @@ def project_exec_1d(
         kernel_s = max(kernel_s, t)
     kernel_s *= calibration
 
-    xplan = build_b_exchange([s.colidx for s in shards], displs, reidx=reidx)
+    xplan = build_b_exchange(
+        [s.colidx for s in shards], b_displs, reidx=reidx
+    )
     # ring schedule: each chip sends and receives (p-1) shifts of S padded
     # rows concurrently — per-chip wire bytes per direction.  Width is the
     # logical n: the exchange runs before the kernel's n-tile padding.

@@ -113,3 +113,63 @@ def test_native_bf16_cast_nan_stays_nan():
     assert np.isposinf(got[2]) and np.isneginf(got[3])
     ref = x[4:].astype(ml_dtypes.bfloat16).astype(np.float32)
     np.testing.assert_array_equal(got[4:], ref)
+
+
+def test_pack_cache_catches_single_element_edit(devices8):
+    """Review r3: the sampled fingerprint missed edits off the 1-in-stride
+    positions; the full digest must catch ANY single value edit."""
+    a = banded_random_csr(3000, nnz_per_row=7, bandwidth=40, seed=5)
+    n = 8
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    eng1 = _build(a, 4, n, devices8, kernel="segsum")
+    assert rel_fro_err(a.spmm_ref(b), eng1.exec(b)) <= 1e-12
+    a.val[1] = a.val[1] + 7.5  # a position a 1024-sample stride skips
+    eng2 = _build(a, 4, n, devices8, kernel="segsum")
+    assert eng2._local_fn is not eng1._local_fn
+    assert rel_fro_err(a.spmm_ref(b), eng2.exec(b)) <= 1e-12
+
+
+def test_pack_cache_single_slot(devices8):
+    """Review r3: the pack cache pins device arrays; sweeping configs in
+    one process must not accumulate entries (HBM) — one slot, last wins."""
+    a = banded_random_csr(400, nnz_per_row=7, bandwidth=40, seed=9)
+    _build(a, 4, 8, devices8, kernel="segsum")
+    _build(a, 4, 8, devices8, kernel="ell")
+    assert len(a._pack_cache) == 1
+
+
+def test_dd_mxu_empty_shard_falls_back(devices8):
+    """Review r3: _pack_dd_mxu crashed with TypeError (not
+    UnsupportedSparsity) when any shard had zero nnz, skipping the dd
+    fallback chain.  All nnz in the first rows -> later shards empty."""
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    m = 64
+    rowptr = np.zeros(m + 1, dtype=np.int64)
+    rowptr[1:4] = [2, 4, 6]
+    rowptr[4:] = 6
+    colidx = np.array([0, 5, 3, 9, 1, 2], dtype=np.int32)
+    val = np.linspace(1.0, 2.0, 6)
+    a = CSRMatrix(m, m, rowptr, colidx, val)
+    n = 8
+    b = np.asarray(fill_b(0, m, 0, n))
+    eng = _build(a, 4, n, devices8, kernel="dd_mxu")
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_projection_rectangular_matrix():
+    """Review r3: project_exec_1d shared one displs array between A row
+    slicing and B ownership — rectangular (ncol > nrow) inputs crashed."""
+    from crp_tpu.plan.project import project_exec_1d
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    rng = np.random.default_rng(3)
+    m, k, nnz_per_row = 300, 500, 5
+    rowptr = np.arange(0, (m + 1) * nnz_per_row, nnz_per_row, dtype=np.int64)
+    colidx = rng.integers(0, k, size=m * nnz_per_row).astype(np.int32)
+    for i in range(m):  # sorted within rows
+        colidx[i * nnz_per_row : (i + 1) * nnz_per_row].sort()
+    val = rng.standard_normal(m * nnz_per_row)
+    a = CSRMatrix(m, k, rowptr, colidx, val)
+    rec = project_exec_1d(a, 32, 3, mxu_prec="x3")
+    assert rec["projected_s"] > 0
