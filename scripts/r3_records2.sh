@@ -2,12 +2,15 @@
 # Round-3 on-chip record queue, take 2 (serial: one TPU job at a time).
 # Re-records everything with the single-pass pack paths (init is now
 # pack ~3-45 s instead of 85-400 s) and the fixed dd_mxu block specs.
+# Ordered by record value in case the chip window is short: matrix table
+# points, dd on-chip, cplaw points, geometry A/B, reach, regressions,
+# sweeps, headline.
 cd /root/repo
 set -x
 
 # 1. consolidated matrix table rows: pwtk-class banded through the
 #    uniform/sg kernel at all three fp32 operating points + segsum.
-for PREC in highest x3 default; do
+for PREC in x3 default highest; do
   CRP_TPU_MXU_PREC=$PREC timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
     synth:banded:217918:53:2500 256 1 --engine=rowpara --list=pallas \
     --dtype=float32 --ntest=3 --inner=10 --project=1 \
@@ -16,13 +19,6 @@ done
 timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
   synth:banded:217918:53:2500 256 1 --engine=rowpara --list=segsum \
   --dtype=float32 --ntest=3 --inner=5 --out=bench_results/r3_tpu_matrix.jsonl
-
-# 1b. Fig.7-analog n-sweep at the headline x3 point (r2 ran it at
-#     `highest` only — VERDICT r2 Weak #5); pack is memoized across n.
-CRP_TPU_MXU_PREC=x3 timeout 3600 python -m crp_tpu.cli.suite_cli vary_n \
-  synth:banded:217918:53:2500 1 --engine=rowpara --kernel=pallas \
-  --ns=16,64,256,1024,2048 --ntest=3 --inner=10 --plan-procs=8 \
-  --out=bench_results/r3_tpu_matrix.jsonl
 
 # 2. fp64-class on-chip: dd_mxu at a bandwidth-256 pwtk-class shape (the
 #    VPU dd ELL gather cannot fit it), plus a 50k-row shape where BOTH
@@ -39,7 +35,7 @@ CRP_TPU_DD_NO_MXU=1 timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
 
 # 3. cplaw (post-reorder social-graph analog) rows: ragged at all three
 #    operating points (segsum row already recorded in r3_tpu_plaw.jsonl).
-for PREC in highest x3 default; do
+for PREC in x3 default highest; do
   CRP_TPU_MXU_PREC=$PREC timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
     synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
     --dtype=float32 --ntest=3 --inner=10 --project=1 \
@@ -79,5 +75,12 @@ timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
 timeout 1800 python scripts/spill_microbench.py \
   | tee -a bench_results/r3_tpu_spill.jsonl
 
-# 6. headline bench (records the init breakdown)
+# 6. Fig.7-analog n-sweep at the headline x3 point (r2 ran it at
+#    `highest` only — VERDICT r2 Weak #5); pack is memoized across n.
+CRP_TPU_MXU_PREC=x3 timeout 3600 python -m crp_tpu.cli.suite_cli vary_n \
+  synth:banded:217918:53:2500 1 --engine=rowpara --kernel=pallas \
+  --ns=16,64,256,1024,2048 --ntest=3 --inner=10 --plan-procs=8 \
+  --out=bench_results/r3_tpu_matrix.jsonl
+
+# 7. headline bench (records the init breakdown)
 timeout 3000 python bench.py | tee /tmp/r3_bench_headline.json
