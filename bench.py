@@ -18,11 +18,26 @@ against the v5e chip specs (bf16 MXU 197 TF/s, HBM 819 GB/s — override
 with CRP_BENCH_MXU_PEAK / CRP_BENCH_HBM_PEAK, in TF/s / GB/s; an r2 run
 sustained 623 GB/s, disproving the 371 GB/s relay-stream measurement r1
 used).  The reference publishes no FLOP/s (SURVEY.md section 6); this
-answers "how far from speed of light".
+answers "how far from speed of light".  ``rel_fro_err`` is the reference's
+acceptance metric ``||C_ref - C||_F / ||C_ref||_F`` (``src/utils.c:75-89``),
+measured on a deterministic column subsample (CRP_BENCH_ERR_COLS, default
+32) so the fp64 host reference stays cheap on this 1-vCPU VM.
+
+Relay resilience: the chip is reached through a flaky HTTP relay whose
+backend init / remote compile fails transiently (UNAVAILABLE, HTTP 500
+``tpu_compile_helper``; BENCH_r03.json lost a round to one such hiccup).
+JAX caches a failed backend for the life of the process, so retries run
+the measurement in a CHILD process: the parent supervises, classifies
+failures, retries transient ones with exponential backoff
+(CRP_BENCH_RETRIES, CRP_BENCH_RETRY_BACKOFF_S), bounds each attempt
+(CRP_BENCH_ATTEMPT_TIMEOUT_S), and on final failure emits a structured
+``{"error": ...}`` JSON line instead of a traceback.
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -30,8 +45,24 @@ import numpy as np
 
 REFERENCE_SECONDS = 1.060  # README.md:81, SpMM total avg, pwtk n=256
 
+# stderr substrings that mark a RELAY failure worth retrying (vs a real bug)
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "TPU backend setup/compile error",
+    "tpu_compile_helper",
+    "HTTP 500",
+    "HTTP 502",
+    "HTTP 503",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "Connection reset",
+    "attempt timed out",
+)
 
-def main():
+
+def _run_measurement():
+    """The actual single-attempt benchmark (child process)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
@@ -40,6 +71,7 @@ def main():
     from crp_tpu.plan.partition1d import csr_row_partition
     from crp_tpu.sparse.synth import banded_random_csr, fill_b
     from crp_tpu.shard.layout import make_mesh_1d
+    from crp_tpu.utils.norms import rel_fro_err
 
     nrow = int(os.environ.get("CRP_BENCH_NROW", 217918))
     n = int(os.environ.get("CRP_BENCH_N", 256))
@@ -83,6 +115,14 @@ def main():
         times.append((time.perf_counter() - t0) / K)
     t = float(np.min(times))
 
+    # accuracy at the headline operating point, reference metric on a
+    # column subsample (full fp64 host SpMM is minutes on this 1-vCPU VM)
+    err_cols = int(os.environ.get("CRP_BENCH_ERR_COLS", 32))
+    err_cols = min(err_cols, n)
+    c_host = np.asarray(eng.unshard_c(c)[:, :err_cols], dtype=np.float64)
+    c_ref = a.spmm_ref(b[:, :err_cols].astype(np.float64))
+    err = float(rel_fro_err(c_ref, c_host))
+
     gflops = 2.0 * a.nnz * n / t / 1e9
     prec = os.environ["CRP_TPU_MXU_PREC"]
     record = {
@@ -92,6 +132,7 @@ def main():
         "value": round(t, 5),
         "unit": "s",
         "vs_baseline": round(REFERENCE_SECONDS / t, 2),
+        "rel_fro_err": err,
         "init_s": round(eng.t_init, 2),
         "init_breakdown": getattr(eng, "init_breakdown", None),
     }
@@ -127,5 +168,81 @@ def main():
     print(json.dumps(record))
 
 
+def _last_json_line(text: str):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                return json.loads(line), line
+            except ValueError:
+                continue
+    return None, None
+
+
+def _terminate(proc: subprocess.Popen, grace_s: float = 30.0) -> None:
+    """SIGTERM the exact child we spawned, SIGKILL after a grace period."""
+    if proc.poll() is not None:
+        return
+    proc.send_signal(signal.SIGTERM)
+    try:
+        proc.wait(timeout=grace_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+
+
+def supervise() -> int:
+    """Run the measurement in a child with bounded retries on relay faults."""
+    retries = int(os.environ.get("CRP_BENCH_RETRIES", 3))
+    backoff = float(os.environ.get("CRP_BENCH_RETRY_BACKOFF_S", 60))
+    attempt_timeout = float(
+        os.environ.get("CRP_BENCH_ATTEMPT_TIMEOUT_S", 2700)
+    )
+    env = dict(os.environ, CRP_BENCH_CHILD="1")
+    failures = []
+    for attempt in range(1, retries + 1):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        try:
+            out, errout = proc.communicate(timeout=attempt_timeout)
+        except subprocess.TimeoutExpired:
+            _terminate(proc)
+            out, errout = "", "attempt timed out after %ss" % attempt_timeout
+        if errout:
+            sys.stderr.write(errout[-4000:])
+        record, line = _last_json_line(out)
+        if proc.returncode == 0 and record is not None:
+            print(line)
+            return 0
+        tail = (errout or out)[-2000:]
+        failures.append(
+            {"attempt": attempt, "rc": proc.returncode, "tail": tail[-400:]}
+        )
+        transient = any(m in tail for m in _TRANSIENT_MARKERS)
+        if not transient or attempt == retries:
+            break
+        delay = backoff * (2 ** (attempt - 1))
+        print(
+            f"[bench] attempt {attempt} hit a transient relay failure; "
+            f"retrying in {delay:.0f} s",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(delay)
+    print(json.dumps({
+        "metric": "pwtk-class single-chip SpMM exec",
+        "value": None,
+        "unit": "s",
+        "error": failures[-1]["tail"][-400:] if failures else "unknown",
+        "attempts": failures,
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("CRP_BENCH_CHILD") == "1":
+        _run_measurement()
+    else:
+        sys.exit(supervise())
