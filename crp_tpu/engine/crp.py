@@ -258,10 +258,13 @@ class CrpSpmm:
                 )
             except UnsupportedSparsity:
                 # a dd-class request must keep its accuracy contract: fall
-                # back to the VPU double-float kernels, not fp32
+                # back to the VPU double-float kernels, not fp32 — and not
+                # a repeat of the failed dd_mxu cover inside the dd retry
+                skip_mxu = kind == "dd_mxu"
                 kind = "dd" if self.is_dd else "segsum"
                 arrays, self._local_fn = pack_local_kernel(
-                    shards_compact, self.max_m, self.dtype, kind
+                    shards_compact, self.max_m, self.dtype, kind,
+                    dd_skip_mxu=skip_mxu,
                 )
             self.kernel_kind = kind
             self._rb_rows = max(

@@ -260,10 +260,13 @@ class Para2dSpmm:
                     "kernel=%r rejected this sparsity (%s); falling back "
                     "to %s", kind, e, fb,
                 )
+                # don't repeat the failed dd_mxu cover inside the dd retry
+                skip_mxu = kind == "dd_mxu"
                 kind = fb
                 with self._t_build.phase("pack"):
                     arrays, self._local_fn = pack_local_kernel(
-                        shards_compact, self.max_m, self.dtype, fb
+                        shards_compact, self.max_m, self.dtype, fb,
+                        dd_skip_mxu=skip_mxu,
                     )
             # the pallas windowed kernel needs rB padded so window DMAs stay
             # in-bounds; extra rows only ever meet zero A-tile columns

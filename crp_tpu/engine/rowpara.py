@@ -264,10 +264,14 @@ class RowParaSpmm:
                         "kernel=%r rejected this sparsity (%s); falling back "
                         "to %s", kind, e, fb,
                     )
+                    # after an explicit dd_mxu failure, the dd pack must not
+                    # re-run the identical MXU cover just to fail again
+                    skip_mxu = kind == "dd_mxu"
                     kind = fb
                     with tb.phase("pack"):
                         arrays, self._local_fn = pack_local_kernel(
-                            shards_compact, self.max_m, self.dtype, fb
+                            shards_compact, self.max_m, self.dtype, fb,
+                            dd_skip_mxu=skip_mxu,
                         )
                 # the pallas windowed kernel needs rB padded so window DMAs
                 # stay in-bounds; extra rows only meet zero A-tile columns

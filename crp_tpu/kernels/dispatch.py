@@ -64,12 +64,18 @@ def pack_local_kernel(
     dtype,
     kind: str = "segsum",
     mxu_precision: str = "highest",
+    dd_skip_mxu: bool = False,
 ) -> tuple[tuple[np.ndarray, ...], Callable]:
     """Pack shards [(rowptr, compact_colidx, val), ...] for kernel ``kind``.
 
     Returns (stacked host arrays, local_fn) where ``local_fn(arrays, rB)``
     computes the shard's C block of shape (max_m, n); each element of
     ``arrays`` has leading shard axis already stripped.
+
+    ``dd_skip_mxu`` makes ``kind="dd"`` go straight to the VPU double-float
+    pack — set by engines retrying after an explicit ``dd_mxu`` pack raised
+    ``UnsupportedSparsity``, so the multi-second cover + densify + slicing
+    is not repeated just to fail identically.
     """
     if kind == "segsum":
         nnz_pad = max(max(int(r[-1] - r[0]) for r, _, _ in shards), 1)
@@ -123,6 +129,7 @@ def pack_local_kernel(
 
         if (
             jax.default_backend() == "tpu"
+            and not dd_skip_mxu
             and os.environ.get("CRP_TPU_DD_NO_MXU") != "1"
         ):
             # fp64-class on the MXU (Ozaki exact slicing) when the ragged
@@ -838,6 +845,11 @@ def _pack_dd_mxu(shards, max_m):
     from .spmm_ragged import ragged_params
 
     TM, Wc = ragged_params()
+    # the Ozaki exactness invariant needs every fp32 dot accumulation to
+    # stay exact: Wc products of integer slices bounded by 2^14 each are
+    # representable only while Wc * 2^14 <= 2^24, i.e. Wc <= 1024 — clamp
+    # independently of the shared CRP_TPU_RAGGED_WC knob
+    Wc = min(Wc, 1024)
     interpret = jax.default_backend() != "tpu"
     if interpret:
         Wc = min(Wc, 256)

@@ -51,13 +51,26 @@ def slice_a_f64(panels: np.ndarray):
 
     from .. import native
 
-    got = native.dd_slice_f64(np.ascontiguousarray(panels, np.float64), QA)
+    try:
+        got = native.dd_slice_f64(
+            np.ascontiguousarray(panels, np.float64), QA
+        )
+    except native.DDSliceRangeError as e:
+        raise UnsupportedSparsity(str(e))
     if got is not None:
         return got
 
     amax = np.abs(panels).max(axis=2)                    # (S, TM)
     # smallest power of two STRICTLY greater than amax -> |v| < 1
     _, e = np.frexp(amax)                                # amax < 2^e
+    # mu is stored/applied as fp32: 2^e must be a NORMAL fp32 or the
+    # exactness invariant silently breaks (inf / flush-to-zero); fall
+    # back to the VPU dd path, which carries fp32 hi/lo value pairs
+    if amax.size and bool(((amax > 0) & ((e > 127) | (e < -126))).any()):
+        raise UnsupportedSparsity(
+            "dd_mxu row scale outside fp32 normal range (amax > 2^127 "
+            "or < 2^-126)"
+        )
     mu = np.exp2(e.astype(np.float64))
     mu_safe = np.where(amax > 0, mu, 1.0)
     v = panels / mu_safe[:, :, None]                     # exact (pow2)

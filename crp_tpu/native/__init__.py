@@ -178,9 +178,17 @@ def pack_window_flat_f32(nrow, rowptr, colidx, val, TM, TK, max_window, G, W):
     return ws, panels, int(w0)
 
 
+class DDSliceRangeError(ValueError):
+    """A row's pow2 scale mu is not representable as a NORMAL fp32 (the
+    fp64 amax lies above 2^127 or below 2^-126); the Ozaki exact-slicing
+    invariant would silently break.  Callers map this to
+    ``UnsupportedSparsity`` so the engines fall back to the VPU dd path."""
+
+
 def dd_slice_f64(panels, nslice):
     """Native Ozaki slicing: (S, TM, Wc) fp64 panels -> (mu (S, TM) fp32,
-    slices (nslice, S, TM, Wc) bf16); returns None to fall back."""
+    slices (nslice, S, TM, Wc) bf16); returns None to fall back.  Raises
+    DDSliceRangeError when a row scale exceeds the fp32 normal range."""
     lib = _load()
     if lib is None:
         return None
@@ -193,6 +201,11 @@ def dd_slice_f64(panels, nslice):
         S, TM, Wc, nslice,
         np.ascontiguousarray(panels, dtype=np.float64), mu, slices,
     )
+    if rc == -2:
+        raise DDSliceRangeError(
+            "dd_mxu row scale outside fp32 normal range (amax > 2^127 "
+            "or < 2^-126)"
+        )
     if rc != 0:
         return None
     return mu, slices.view(ml_dtypes.bfloat16)

@@ -426,6 +426,9 @@ int crp_dd_slice_f64(
 {
     if (Wc > 4096) return -1;  // residual buffer is stack-allocated
     int64_t R = S * TM;  // independent (chunk, row) lanes
+    int bad_range = 0;   // mu must be a NORMAL fp32 (e in [-126, 127]):
+                         // 2^128 -> +inf, below 2^-126 -> flush, both
+                         // silently corrupt the exact-slicing invariant
 #pragma omp parallel for schedule(static)
     for (int64_t r = 0; r < R; r++) {
         const double* row = panels + r * Wc;
@@ -438,6 +441,10 @@ int crp_dd_slice_f64(
         if (amax > 0.0) {
             int e;
             std::frexp(amax, &e);     // amax < 2^e
+            if (e > 127 || e < -126) {
+#pragma omp atomic write
+                bad_range = 1;
+            }
             m = std::ldexp(1.0, e);
         }
         mu[r] = (float)m;
@@ -458,7 +465,7 @@ int crp_dd_slice_f64(
             }
         }
     }
-    return 0;
+    return bad_range ? -2 : 0;  // -2: row scale not fp32-representable
 }
 
 // Threaded flat memcpy: single-threaded numpy assignment measures as low

@@ -128,3 +128,74 @@ def test_dd_stays_vpu_off_tpu(devices8):
     assert getattr(eng._local_fn, "variant", None) is None
     b = np.random.default_rng(1).standard_normal((a.ncol, 8))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_dd_slice_range_rejected(monkeypatch):
+    # mu is stored/applied as fp32: row scales outside the fp32 NORMAL
+    # range must be rejected (-> UnsupportedSparsity -> VPU dd fallback),
+    # not silently turned into inf / flushed to zero — in both the native
+    # slicer and its numpy twin (ADVICE r3: native/fastops.cpp:443)
+    from crp_tpu import native
+    from crp_tpu.kernels.spmm_pallas import UnsupportedSparsity
+
+    big = np.zeros((1, 8, 256))
+    big[0, 0, 0] = float(np.ldexp(1.5, 127))   # amax in (2^127, 2^128)
+    tiny = np.zeros((1, 8, 256))
+    tiny[0, 0, 0] = float(np.ldexp(1.0, -130))  # mu = 2^-129 would flush
+    ok = np.zeros((1, 8, 256))
+    ok[0, 0, 0] = float(np.ldexp(1.0, 126))     # mu = 2^127: still normal
+    for panels in (big, tiny):
+        if native._load() is not None:
+            with pytest.raises(UnsupportedSparsity):
+                slice_a_f64(panels)
+        with monkeypatch.context() as mp:
+            mp.setattr(native, "dd_slice_f64", lambda *a, **k: None)
+            with pytest.raises(UnsupportedSparsity):
+                slice_a_f64(panels)
+    mu, _ = slice_a_f64(ok)
+    assert mu[0, 0] == np.float32(np.ldexp(1.0, 127))
+
+
+def test_dd_mxu_wc_clamped_for_exactness(monkeypatch):
+    # fp32 accumulation of Wc products bounded by 2^14 is exact only for
+    # Wc <= 1024: the pack must clamp independently of the shared
+    # CRP_TPU_RAGGED_WC knob (ADVICE r3: kernels/dispatch.py:840)
+    import jax as _jax
+
+    from crp_tpu.kernels.dispatch import _pack_dd_mxu
+
+    monkeypatch.setenv("CRP_TPU_RAGGED_WC", "2048")
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    a = banded_random_csr(256, nnz_per_row=5, bandwidth=30, seed=3,
+                          dtype=np.float64)
+    _, fn = _pack_dd_mxu([(a.rowptr, a.colidx, a.val)], 256)
+    assert fn.roofline["W"] <= 1024
+
+
+def test_dd_fallback_skips_mxu_retry(monkeypatch):
+    # after an explicit dd_mxu pack raised UnsupportedSparsity, the dd
+    # retry must not re-run the identical MXU cover just to fail again
+    # (ADVICE r3: kernels/dispatch.py:131)
+    import jax as _jax
+
+    import crp_tpu.kernels.dispatch as dispatch
+    from crp_tpu.kernels.spmm_pallas import UnsupportedSparsity
+
+    calls = []
+
+    def boom(*args, **kwargs):
+        calls.append(1)
+        raise UnsupportedSparsity("forced")
+
+    monkeypatch.setattr(dispatch, "_pack_dd_mxu", boom)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    a = banded_random_csr(64, nnz_per_row=3, bandwidth=8, seed=0,
+                          dtype=np.float64)
+    shards = [(a.rowptr, a.colidx, a.val)]
+    _, fn = dispatch.pack_local_kernel(
+        shards, 64, np.float64, "dd", dd_skip_mxu=True
+    )
+    assert calls == []
+    assert getattr(fn, "variant", None) is None  # VPU dd pack, not MXU
+    _, _ = dispatch.pack_local_kernel(shards, 64, np.float64, "dd")
+    assert calls == [1]
