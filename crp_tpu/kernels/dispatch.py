@@ -651,16 +651,25 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
     from .spmm_pallas import UnsupportedSparsity
     from .spmm_ragged import (
         pack_ragged_window, pack_ragged_window_bf16, pack_spill,
-        ragged_params, spmm_ragged, spmm_ragged_bf16, spmm_ragged_presplit,
-        spmm_spill_chunked,
+        resolve_ragged_geometry, spill_impl, spmm_ragged, spmm_ragged_bf16,
+        spmm_ragged_presplit, spmm_spill_chunked,
     )
 
-    TM, Wc = ragged_params()
     interpret = jax.default_backend() != "tpu"
-    if interpret:
-        # interpreter per-step cost scales with scratch size; tests run
-        # tiny shapes (correctness-only path)
-        Wc = min(Wc, 256)
+    # model-based per-matrix geometry on the largest shard (all shards
+    # share one kernel program, hence one (TM, Wc)); env knobs pin it.
+    # Off-TPU the interpreter's per-step cost scales with scratch size,
+    # so Wc is capped (tests run tiny correctness-only shapes).
+    big = max(
+        (s for s in shards if len(s[0]) > 1),
+        key=lambda s: int(s[0][-1]) - int(s[0][0]),
+        default=None,
+    )
+    if big is None:
+        big = (np.zeros(1, np.int64), np.zeros(0, np.int32))
+    TM, Wc = resolve_ragged_geometry(
+        big[0], big[1], mxu_precision, interpret=interpret
+    )
     pack_dtype = np.float64 if np.dtype(dtype) == np.float64 else np.float32
 
     # single-shard bf16 operating points densify straight to bf16 (no
@@ -747,16 +756,37 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
 
     Z = max((p_.spill_nnz for p_ in packs if p_ is not None), default=0)
     has_spill = Z > 0
+    sp_impl = spill_impl() if has_spill else "segsum"
+    n_sp = 0
     if has_spill:
-        sp = [
-            pack_spill(
-                p_.spill if p_ is not None else None, Z, G * TM, pack_dtype
+        if sp_impl == "twopass":
+            from .spmm_ragged import pack_spill_twopass, spmm_spill_twopass
+
+            U = max(
+                (len(np.unique(p_.spill[1]))
+                 for p_ in packs if p_ is not None and p_.spill is not None),
+                default=1,
             )
-            for p_ in packs
-        ]
-        sp_rows = np.stack([s[0] for s in sp])
-        sp_cols = np.stack([s[1] for s in sp])
-        sp_vals = np.stack([s[2] for s in sp])
+            sp = [
+                pack_spill_twopass(
+                    p_.spill if p_ is not None else None, Z, G * TM,
+                    pack_dtype, max(U, 1),
+                )
+                for p_ in packs
+            ]
+            n_sp = 4
+        else:
+            sp = [
+                pack_spill(
+                    p_.spill if p_ is not None else None, Z, G * TM,
+                    pack_dtype,
+                )
+                for p_ in packs
+            ]
+            n_sp = 3
+        sp_arrays = tuple(
+            np.stack([s[i] for s in sp]) for i in range(n_sp)
+        )
 
     min_b_rows = int(a_starts.max()) + Wc
     kw = dict(G=G, TM=TM, Wc=Wc, interpret=interpret)
@@ -765,8 +795,14 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
     def add_spill(c, arrs, rB):
         if not has_spill:
             return c
+        if sp_impl == "twopass":
+            r, iv, v, uq = arrs[-4], arrs[-3], arrs[-2], arrs[-1]
+            return c + spmm_spill_twopass(r, iv, v, uq, rB, G * TM)
         r, cl, v = arrs[-3], arrs[-2], arrs[-1]
-        return c + spmm_spill_chunked(r, cl, v, rB, G * TM)
+        return c + spmm_spill_chunked(
+            r, cl, v, rB, G * TM,
+            take_mode="clip" if sp_impl == "clip" else "fill",
+        )
 
     if mxu_precision == "default" and is_f32:
         import jax.numpy as jnp
@@ -813,7 +849,7 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         b_itemsize = np.dtype(dtype).itemsize
 
     if has_spill:
-        arrays = arrays + (sp_rows, sp_cols, sp_vals)
+        arrays = arrays + sp_arrays
 
     local_fn.min_b_rows = min_b_rows
     local_fn.variant = "ragged"

@@ -117,6 +117,82 @@ def default_min_chunk_nnz(TM: int, Wc: int) -> int:
     return max(8, int(np.ceil(chunk_s / (spill_ns * 1e-9))))
 
 
+def choose_ragged_geometry(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    mxu_precision: str = "highest",
+    n_ref: int = 256,
+    interpret: bool = False,
+) -> tuple[int, int]:
+    """Model-based (TM, Wc) choice for the ragged kernel (per matrix).
+
+    The reference hardwires its local-kernel tiling to the library's
+    (MKL/cuSPARSE pick internally); here the geometry trades three HBM
+    terms the cost model can price exactly from a cover-only pass
+    (``estimate_ragged``): A panel bytes (S*TM*Wc), B chunk traffic
+    (S*Wc*n — TM-independent, so taller groups amortize it; the r3 cplaw
+    matrix halves its non-spill time at TM=512/Wc=128), and C writeback.
+    Spill cost uses the measured sorted-segment-sum rate.  Candidates are
+    the 3x3 {128,256,512}^2 grid, thinned for very large shards to bound
+    the host-side cover time; ``CRP_TPU_RAGGED_TM``/``WC`` (handled by the
+    caller) override the choice entirely.
+    """
+    import os
+
+    hbm = float(os.environ.get("CRP_PROJ_HBM_GBPS", 623)) * 1e9
+    spill_ns = float(os.environ.get("CRP_PROJ_SPILL_NS", 21)) * 1e-9
+    mxu = float(os.environ.get("CRP_PROJ_MXU_TFLOPS", 136)) * 1e12
+    passes = {"x3": 3, "highest": 6, "default": 1}.get(mxu_precision, 1)
+    a_itemsize = {"x3": 4, "default": 2}.get(mxu_precision, 4)
+    b_itemsize = 2 if mxu_precision == "default" else 4
+    nnz = int(rowptr[-1]) - int(rowptr[0])
+    cands = [(tm, wc) for tm in (128, 256, 512) for wc in (128, 256, 512)]
+    if nnz > 30_000_000:  # bound the host-side cover sweep on huge shards
+        cands = [(128, 512), (256, 256), (512, 128), (512, 256)]
+    if interpret:
+        cands = [(tm, wc) for tm, wc in cands if wc <= 256]
+    best, best_t = cands[0], float("inf")
+    for tm, wc in cands:
+        S, spill, G = estimate_ragged(rowptr, colidx, TM=tm, Wc=wc)
+        a_b = S * tm * wc * a_itemsize
+        b_b = S * wc * n_ref * b_itemsize
+        c_b = G * tm * n_ref * 4
+        t_hbm = (a_b + b_b + c_b) / hbm
+        t_mxu = passes * 2.0 * S * tm * wc * n_ref / mxu
+        t = max(t_hbm, t_mxu) + spill * spill_ns
+        if t < best_t:
+            best, best_t = (tm, wc), t
+    return best
+
+
+def resolve_ragged_geometry(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    mxu_precision: str = "highest",
+    interpret: bool = False,
+) -> tuple[int, int]:
+    """(TM, Wc) the pack will actually use: env knobs / ``AUTO=0`` pin the
+    fixed :func:`ragged_params` defaults, otherwise the model picks
+    (:func:`choose_ragged_geometry`).  Shared by the dispatch pack and the
+    projection model so projected rooflines mirror packed reality."""
+    import os
+
+    env_fixed = (
+        "CRP_TPU_RAGGED_TM" in os.environ
+        or "CRP_TPU_RAGGED_WC" in os.environ
+        or os.environ.get("CRP_TPU_RAGGED_AUTO", "1") == "0"
+    )
+    nnz = (int(rowptr[-1]) - int(rowptr[0])) if len(rowptr) > 1 else 0
+    if env_fixed or nnz == 0:
+        TM, Wc = ragged_params()
+        if interpret:
+            Wc = min(Wc, 256)
+        return TM, Wc
+    return choose_ragged_geometry(
+        rowptr, colidx, mxu_precision, interpret=interpret
+    )
+
+
 def _cover_group_np(cols_sorted: np.ndarray, Wc: int) -> list[int]:
     """Greedy fixed-width interval cover of sorted distinct columns.
 
@@ -169,6 +245,43 @@ def ragged_cover_np(
     return np.asarray(all_starts, dtype=np.int32), group_ptr, spill_nnz
 
 
+def _cover_with_cap(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    TM: int,
+    Wc: int,
+    min_chunk_nnz: int,
+    G: int,
+    max_panel_bytes: int,
+    itemsize: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Cover the shard; when the kept panels exceed ``max_panel_bytes``,
+    escalate ``min_chunk_nnz`` (x4 per step) and re-cover — spilling more
+    of the thin tail instead of refusing the matrix.  cage15-class reach
+    on one chip depends on this: a fixed break-even inflates panels
+    24-47x over the CSR on power-law inputs (VERDICT r3 weak #3).  Raises
+    UnsupportedSparsity only when even an (almost) all-spill cover cannot
+    fit (the per-group dummy chunks are the floor)."""
+    from .. import native
+
+    mn = min_chunk_nnz
+    for _ in range(12):
+        got = native.ragged_cover(rowptr, colidx, TM, TK, Wc, mn, G)
+        if got is None:
+            got = ragged_cover_np(rowptr, colidx, TM, Wc, mn)
+        starts, group_ptr, spill_nnz = got
+        panel_bytes = len(starts) * TM * Wc * itemsize
+        if panel_bytes <= max_panel_bytes:
+            return starts, group_ptr, spill_nnz
+        if len(starts) <= G:  # already all-dummy: escalation is exhausted
+            break
+        mn *= 4
+    raise UnsupportedSparsity(
+        f"ragged panels {panel_bytes >> 20} MiB > cap even at "
+        f"min_chunk_nnz={mn}"
+    )
+
+
 def pack_ragged_window(
     rowptr: np.ndarray,
     colidx: np.ndarray,
@@ -198,19 +311,11 @@ def pack_ragged_window(
 
     from .. import native
 
-    got = native.ragged_cover(rowptr, colidx, TM, TK, Wc, min_chunk_nnz, G)
-    if got is not None:
-        starts, group_ptr, spill_nnz = got
-    else:
-        starts, group_ptr, spill_nnz = ragged_cover_np(
-            rowptr, colidx, TM, Wc, min_chunk_nnz
-        )
+    starts, group_ptr, spill_nnz = _cover_with_cap(
+        rowptr, colidx, TM, Wc, min_chunk_nnz, G,
+        max_panel_bytes, np.dtype(dtype).itemsize,
+    )
     S = len(starts)
-    panel_bytes = S * TM * Wc * np.dtype(dtype).itemsize
-    if panel_bytes > max_panel_bytes:
-        raise UnsupportedSparsity(
-            f"ragged panels {panel_bytes >> 20} MiB > cap"
-        )
 
     filled = None
     if np.dtype(dtype) == np.float32:
@@ -303,20 +408,16 @@ def pack_ragged_window_bf16(
     if min_chunk_nnz is None:
         min_chunk_nnz = default_min_chunk_nnz(TM, Wc)
     G = max(-(-nrow // TM), 1)
-    got = native.ragged_cover(rowptr, colidx, TM, TK, Wc, min_chunk_nnz, G)
-    if got is None:
+    if native._load() is None:  # direct-bf16 fill needs the native lib
         return None
-    starts, group_ptr, spill_nnz = got
-    S = len(starts)
     # fp32-bytes cap on purpose: kernel selection must not depend on
     # whether the native direct-bf16 path is available (the fp32 fallback
     # applies this same cap), so bf16's smaller footprint is not used to
     # admit matrices the fallback would reject
-    panel_bytes = S * TM * Wc * 4
-    if panel_bytes > max_panel_bytes:
-        raise UnsupportedSparsity(
-            f"ragged panels {panel_bytes >> 20} MiB > cap"
-        )
+    starts, group_ptr, spill_nnz = _cover_with_cap(
+        rowptr, colidx, TM, Wc, min_chunk_nnz, G, max_panel_bytes, 4,
+    )
+    S = len(starts)
     # the native fill stages one group's chunks in fp32; bound the
     # transient (hub-heavy groups can hold most of the matrix's width)
     max_nch = int(np.diff(group_ptr).max()) if G else 1
@@ -684,6 +785,18 @@ def spmm_ragged_bf16(
 # ---------------------------------------------------------------------- spill
 
 
+def spill_impl() -> str:
+    """Spill-path formulation: ``segsum`` (take(fill) + sorted segment
+    sum, the r3 default), ``clip`` (branch-free take), or ``twopass``
+    (host-deduped column gather: B rows are fetched once per UNIQUE
+    spilled column — a monotone gather — then fanned out from the compact
+    temp).  Set ``CRP_TPU_SPILL_IMPL``; the winner on chip is measured by
+    ``scripts/spill_microbench.py``."""
+    import os
+
+    return os.environ.get("CRP_TPU_SPILL_IMPL", "segsum")
+
+
 def pack_spill(
     spill: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
     nnz_pad: int,
@@ -703,8 +816,52 @@ def pack_spill(
     return rows, cols, vals
 
 
+def pack_spill_twopass(
+    spill: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    nnz_pad: int,
+    nrow: int,
+    dtype,
+    uniq_pad: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``twopass`` spill pack: (rows, inv, vals, uniq) with columns
+    deduplicated on the host — ``uniq[inv] == cols``.  Pad inv/uniq
+    entries point at slot/row 0 with zero vals (harmless gather)."""
+    rows = np.full(nnz_pad, nrow, dtype=np.int32)
+    inv = np.zeros(nnz_pad, dtype=np.int32)
+    vals = np.zeros(nnz_pad, dtype=dtype)
+    uniq = np.zeros(uniq_pad, dtype=np.int32)
+    if spill is not None:
+        r, c, v = spill
+        u, iv = np.unique(c, return_inverse=True)
+        rows[: len(r)] = r
+        inv[: len(r)] = iv.astype(np.int32)
+        vals[: len(r)] = v.astype(dtype)
+        uniq[: len(u)] = u.astype(np.int32)
+    return rows, inv, vals, uniq
+
+
+def spmm_spill_twopass(rows, inv, vals, uniq, b, nrow: int):
+    """Compact-gather spill: B rows fetched once per unique spilled column
+    (monotone gather), fanned out from the compact temp, then the same
+    sorted segment-sum.  Wins when unique columns << spill nnz (the r3
+    cplaw spill touches 462k unique columns for 2.04M nnz)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = b.shape[1]
+    if rows.shape[0] == 0:
+        return jnp.zeros((nrow, n), dtype=b.dtype)
+    compact = jnp.take(b, uniq, axis=0, mode="clip")
+    contrib = vals[:, None].astype(b.dtype) * jnp.take(
+        compact, inv, axis=0, mode="clip"
+    )
+    return jax.ops.segment_sum(
+        contrib, rows, num_segments=nrow + 1, indices_are_sorted=True
+    )[:nrow]
+
+
 def spmm_spill_chunked(rows, cols, vals, b, nrow: int,
-                       chunk: int | None = None):
+                       chunk: int | None = None, take_mode: str = "fill"):
     """Memory-bounded VPU path for spilled nonzeros (rows SORTED ascending,
     pad rows == nrow at the end).
 
@@ -729,9 +886,11 @@ def spmm_spill_chunked(rows, cols, vals, b, nrow: int,
         )
         chunk = max(budget // (n * np.dtype(b.dtype).itemsize), 1 << 14)
     if nnz <= chunk:
-        contrib = vals[:, None].astype(b.dtype) * jnp.take(
-            b, cols, axis=0, fill_value=0
-        )
+        if take_mode == "clip":  # branch-free gather (pad vals are zero)
+            g = jnp.take(b, cols, axis=0, mode="clip")
+        else:
+            g = jnp.take(b, cols, axis=0, fill_value=0)
+        contrib = vals[:, None].astype(b.dtype) * g
         # pad rows == nrow land in segment nrow and are sliced away
         return jax.ops.segment_sum(
             contrib, rows, num_segments=nrow + 1, indices_are_sorted=True

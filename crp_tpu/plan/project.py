@@ -31,6 +31,23 @@ import os
 import numpy as np
 
 
+# where each default rate comes from — emitted with every projection
+# record so readers can audit (and re-pin) the weakest terms
+RATE_PROVENANCE = dict(
+    mxu_tflops="measured: r2 headline 0.01142 s at pwtk-class x3 = "
+               "165 TF/s effective (0.838 of the 197 TF/s v5e spec), "
+               "BENCH_r02.json",
+    hbm_gbps="measured: 623 GB/s sustained A-panel stream, r2 presplit "
+             "sweep (bench_results/r2_tpu_presplit_b.jsonl)",
+    ici_gbps="UNMEASURED (single chip here): public v5e spec, one 2D-torus "
+             "axis ~45 GB/s per direction, ring send+recv concurrent "
+             "(jax-ml.github.io/scaling-book)",
+    spill_ns="measured: ~21 ns/nnz sorted segment-sum, r3 cplaw on-chip "
+             "(bench_results/r3_tpu_plaw.jsonl); re-pinned per chip window "
+             "by scripts/spill_microbench.py",
+)
+
+
 def _rates():
     return dict(
         mxu=float(os.environ.get("CRP_PROJ_MXU_TFLOPS", 165)) * 1e12,
@@ -45,7 +62,7 @@ def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize):
     spill_nnz).  Mirrors the pack selection: uniform windowed geometry
     when feasible, else the ragged cover estimate."""
     from ..kernels.dispatch import _uniform_cost_estimate
-    from ..kernels.spmm_ragged import estimate_ragged, ragged_params
+    from ..kernels.spmm_ragged import estimate_ragged, resolve_ragged_geometry
 
     passes = {"x3": 3, "highest": 6, "default": 1}.get(mxu_prec, 1)
     a_item = 2 if mxu_prec in ("x3", "default") else itemsize
@@ -55,7 +72,7 @@ def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize):
     cc = shard.colidx
     trip = (shard.rowptr, cc, shard.val)
     W, G, ok = _uniform_cost_estimate([trip], shard.nrow)
-    TMr, Wcr = ragged_params()
+    TMr, Wcr = resolve_ragged_geometry(shard.rowptr, cc, mxu_prec)
     S, spill, Gr = estimate_ragged(shard.rowptr, cc, TMr, Wcr)
     if ok:
         # mirror dispatch._pack_pallas's selection gate exactly: the
@@ -148,6 +165,7 @@ def project_exec_1d(
             mxu_tflops=rates["mxu"] / 1e12, hbm_gbps=rates["hbm"] / 1e9,
             ici_gbps=rates["ici"] / 1e9, spill_ns=rates["spill_ns"],
         ),
+        rate_provenance=RATE_PROVENANCE,
         calibration=round(calibration, 4),
     )
 

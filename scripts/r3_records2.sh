@@ -84,3 +84,6 @@ CRP_TPU_MXU_PREC=x3 timeout 3600 python -m crp_tpu.cli.suite_cli vary_n \
 
 # 7. headline bench (records the init breakdown)
 timeout 3000 python bench.py | tee /tmp/r3_bench_headline.json
+
+# round-4 queue (adaptive geometry + spill formulation A/Bs)
+bash scripts/r4_records.sh

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-4 on-chip record queue (serial: one TPU job at a time).
+# A/Bs the round-4 ragged improvements on the cplaw social-graph matrix:
+#   1. adaptive model-chosen geometry (default) vs the r3 fixed (128, 512)
+#   2. spill formulations (CRP_TPU_SPILL_IMPL) through the engine
+# The spill microbench (scripts/spill_microbench.py, run by r3_records2.sh
+# step 5) prices the formulations in isolation, including the new segblock
+# one-hot-MXU variant.
+cd /root/repo
+set -x
+
+# 1. geometry A/B at the x3 operating point
+CRP_TPU_MXU_PREC=x3 CRP_TPU_RAGGED_AUTO=0 timeout 3000 \
+  python -m crp_tpu.cli.suite_cli kernels \
+  synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=10 \
+  --out=bench_results/r4_tpu_geometry.jsonl
+CRP_TPU_MXU_PREC=x3 timeout 3000 \
+  python -m crp_tpu.cli.suite_cli kernels \
+  synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=10 \
+  --out=bench_results/r4_tpu_geometry.jsonl
+
+# 2. spill formulation A/B through the engine (adaptive geometry)
+for IMPL in clip twopass; do
+  CRP_TPU_MXU_PREC=x3 CRP_TPU_SPILL_IMPL=$IMPL timeout 3000 \
+    python -m crp_tpu.cli.suite_cli kernels \
+    synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
+    --dtype=float32 --ntest=3 --inner=10 \
+    --out=bench_results/r4_tpu_spill_impl.jsonl
+done

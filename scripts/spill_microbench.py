@@ -157,6 +157,76 @@ def main():
     results["ell"] = t
     print(f"# ell rel err vs segsum: {err:.2e}", file=sys.stderr)
 
+    # segblock: replace the 2M-index scatter with per-step one-hot MXU
+    # matmuls + a block-level scatter (Q nnz per step, each step's rows
+    # confined to one TMo-row output block -> segment ids shrink by ~Q).
+    # The one-hot is exact in bf16; HIGHEST keeps contrib fp32-exact.
+    Q, TMo = 128, 128
+    blk = r // TMo
+    # split steps at block boundaries: step id = (within-block rank // Q)
+    # cumulated per block
+    b_starts = np.zeros(z + 1, dtype=np.int64)
+    change = np.flatnonzero(np.diff(blk)) + 1
+    starts_of_run = np.concatenate([[0], change])
+    run_of = np.repeat(np.arange(len(starts_of_run)), np.diff(
+        np.concatenate([starts_of_run, [z]])))
+    rank_in_blk = np.arange(z) - starts_of_run[run_of]
+    steps_per_run = -(-np.diff(np.concatenate([starts_of_run, [z]])) // Q)
+    step_base = np.zeros(len(starts_of_run) + 1, dtype=np.int64)
+    np.cumsum(steps_per_run, out=step_base[1:])
+    step_of = step_base[run_of] + rank_in_blk // Q
+    slot = rank_in_blk % Q
+    ns2 = int(step_base[-1])
+    sb_rel = np.zeros((ns2, Q), dtype=np.int32)
+    sb_cols = np.zeros((ns2, Q), dtype=np.int32)
+    sb_vals = np.zeros((ns2, Q), dtype=np.float32)
+    sb_rel[step_of, slot] = (r - blk * TMo).astype(np.int32)
+    # pad slots point at row 0 with val 0 (harmless)
+    sb_cols[step_of, slot] = c_
+    sb_vals[step_of, slot] = v
+    sb_blk = np.zeros(ns2, dtype=np.int32)
+    sb_blk[step_of] = blk.astype(np.int32)
+    nblk = -(-nrow // TMo)
+    print(f"# segblock steps={ns2} pad={ns2*Q/z:.2f} blocks={nblk}",
+          file=sys.stderr)
+    sb_rel_j = jnp.asarray(sb_rel)
+    sb_cols_j = jnp.asarray(sb_cols)
+    sb_vals_j = jnp.asarray(sb_vals)
+    sb_blk_j = jnp.asarray(sb_blk)
+
+    def make_segblock(prec):
+        @jax.jit
+        def f_segblock(rel, cols, vals, blkid, bb):
+            g = jnp.take(bb, cols.reshape(-1), axis=0, mode="clip").reshape(
+                ns2, Q, n
+            )
+            contrib = vals[:, :, None] * g
+            oneh = (
+                rel[:, None, :]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, TMo, 1), 1)
+            ).astype(jnp.float32)
+            partial = jax.lax.dot_general(
+                oneh, contrib,
+                ((([2], [1])), (([0], [0]))),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            out = jax.ops.segment_sum(
+                partial, blkid, num_segments=nblk,
+                indices_are_sorted=True,
+            )
+            return out.reshape(nblk * TMo, n)[:nrow]
+        return f_segblock
+
+    for prec, tag in ((jax.lax.Precision.HIGHEST, "segblock"),
+                      (jax.lax.Precision.DEFAULT, "segblock_def")):
+        f = make_segblock(prec)
+        t = timeit(f, sb_rel_j, sb_cols_j, sb_vals_j, sb_blk_j, bj)
+        out = np.asarray(f(sb_rel_j, sb_cols_j, sb_vals_j, sb_blk_j, bj))
+        err = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-30)
+        results[tag] = t
+        print(f"# {tag} rel err vs segsum: {err:.2e}", file=sys.stderr)
+
     # two-pass: dedup cols -> compact gather -> indexed second gather
     uniq, inv = np.unique(c_, return_inverse=True)
     uj, ij = jnp.asarray(uniq.astype(np.int32)), jnp.asarray(

@@ -242,3 +242,63 @@ def test_break_even_amortizes_tall_groups():
     assert be512 < 2.1 * be128
     # and the measured r3 break-even (~52-60 nnz at (128, 512)) is matched
     assert 40 <= be128 <= 80
+
+
+def test_choose_geometry_model_and_env_override(monkeypatch):
+    """Model-based (TM, Wc): valid grid point, env knobs win, interpret
+    restricts Wc (the CPU interpreter's per-step cost scales with
+    scratch)."""
+    from crp_tpu.kernels.dispatch import pack_local_kernel
+    from crp_tpu.kernels.spmm_ragged import choose_ragged_geometry
+
+    a = powerlaw_random_csr(4096, avg_degree=13, seed=8)
+    tm, wc = choose_ragged_geometry(a.rowptr, a.colidx, "x3")
+    assert tm in (128, 256, 512) and wc in (128, 256, 512)
+    tm_i, wc_i = choose_ragged_geometry(
+        a.rowptr, a.colidx, "x3", interpret=True
+    )
+    assert wc_i <= 256
+    monkeypatch.setenv("CRP_TPU_RAGGED_TM", "256")
+    monkeypatch.setenv("CRP_TPU_RAGGED_WC", "256")
+    _, fn = pack_local_kernel(
+        [(a.rowptr, a.colidx, a.val)], a.nrow, np.float64, "ragged"
+    )
+    assert fn.roofline["TM"] == 256 and fn.roofline["W"] == 256
+
+
+def test_panel_cap_escalates_spill_instead_of_refusing():
+    """A cap the default break-even cover exceeds must produce a valid
+    (more-spilled) pack, not UnsupportedSparsity — cage15-class reach
+    (VERDICT r3 weak #3)."""
+    a = powerlaw_random_csr(3000, avg_degree=14, seed=9)
+    full = pack_ragged_window(
+        a.rowptr, a.colidx, a.val, a.ncol, TM=128, Wc=256, min_chunk_nnz=2,
+        dtype=np.float64,
+    )
+    cap = full.S * 128 * 256 * 8 // 3  # ~1/3 of the fp64 panel bytes
+    rw = pack_ragged_window(
+        a.rowptr, a.colidx, a.val, a.ncol, TM=128, Wc=256, min_chunk_nnz=2,
+        max_panel_bytes=cap, dtype=np.float64,
+    )
+    assert rw.S * 128 * 256 * 8 <= cap
+    assert rw.spill_nnz > full.spill_nnz
+    assert rw.mxu_nnz + rw.spill_nnz == a.nnz
+    b = np.random.default_rng(5).standard_normal((a.ncol, 16))
+    assert rel_fro_err(a.spmm_ref(b), _ragged_apply(rw, b)) <= 1e-12
+
+
+@pytest.mark.parametrize("impl", ["segsum", "clip", "twopass"])
+def test_spill_impl_variants(impl, monkeypatch, devices8):
+    """All spill formulations (CRP_TPU_SPILL_IMPL) agree with the
+    reference through the engine."""
+    monkeypatch.setenv("CRP_TPU_SPILL_IMPL", impl)
+    a = powerlaw_random_csr(2500, avg_degree=13, seed=4)
+    displs = csr_row_partition(a.rowptr, 3)
+    eng = RowParaSpmm(
+        a, displs, displs, 24,
+        mesh=make_mesh_1d(3, devices=devices8[:3]),
+        config=SpmmConfig(kernel="ragged"),
+    )
+    assert eng._local_fn.roofline["spill_nnz"] > 0  # variant exercised
+    b = np.random.default_rng(3).standard_normal((a.ncol, 24))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
