@@ -757,9 +757,39 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
     Z = max((p_.spill_nnz for p_ in packs if p_ is not None), default=0)
     has_spill = Z > 0
     sp_impl = spill_impl() if has_spill else "segsum"
+    if sp_impl == "pallas" and pack_dtype != np.float32:
+        sp_impl = "segsum"  # fused spill kernel is fp32-only (dd keeps VPU)
     n_sp = 0
     if has_spill:
-        if sp_impl == "twopass":
+        if sp_impl == "pallas":
+            from .spmm_ragged import pack_spill_blocks, spmm_spill_pallas
+
+            TMo = Qs = 128
+
+            def _sorted_spill(p_):
+                if p_ is None or p_.spill is None:
+                    return None
+                r, cl, v = p_.spill
+                order = np.argsort(r, kind="stable")
+                return r[order], cl[order], v[order]
+
+            spills = [_sorted_spill(p_) for p_ in packs]
+            nblk = G * TM // TMo
+
+            def _ns(s):
+                if s is None:
+                    return nblk
+                counts = np.bincount(s[0] // TMo, minlength=nblk)
+                return int(np.maximum(-(-counts // Qs), 1).sum())
+
+            ns_pad = max(_ns(s) for s in spills)
+            sp = [
+                pack_spill_blocks(s, ns_pad, G * TM, pack_dtype,
+                                  TMo=TMo, Q=Qs)
+                for s in spills
+            ]
+            n_sp = 5
+        elif sp_impl == "twopass":
             from .spmm_ragged import pack_spill_twopass, spmm_spill_twopass
 
             U = max(
@@ -795,6 +825,13 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
     def add_spill(c, arrs, rB):
         if not has_spill:
             return c
+        if sp_impl == "pallas":
+            rel, cl, v, first, blkid = arrs[-5:]
+            return spmm_spill_pallas(
+                c, rel, cl, v, first, blkid, rB,
+                TMo=TMo, Q=Qs, mxu_precision=mxu_precision,
+                interpret=interpret,
+            )
         if sp_impl == "twopass":
             r, iv, v, uq = arrs[-4], arrs[-3], arrs[-2], arrs[-1]
             return c + spmm_spill_twopass(r, iv, v, uq, rB, G * TM)

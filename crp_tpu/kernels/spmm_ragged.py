@@ -840,6 +840,188 @@ def pack_spill_twopass(
     return rows, inv, vals, uniq
 
 
+def pack_spill_blocks(
+    spill: tuple[np.ndarray, np.ndarray, np.ndarray] | None,
+    ns_pad: int,
+    M: int,
+    dtype,
+    TMo: int = 128,
+    Q: int = 128,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host pack for the fused Pallas spill kernel (``spmm_spill_pallas``).
+
+    Spilled nonzeros (rows sorted ascending) are regrouped into steps of
+    ``Q`` nnz, each step confined to ONE ``TMo``-row output block; every
+    block of the (M, n) output gets at least one (possibly dummy) step so
+    the kernel can pass the main kernel's C through.  Returns
+    (rel (ns_pad, 1, Q), cols (ns_pad, Q), vals (ns_pad, Q),
+    first (ns_pad,), blk (ns_pad,)); pad slots carry rel == TMo (one-hot
+    selects nothing) and zero vals.
+    """
+    assert M % TMo == 0, (M, TMo)
+    nblk = M // TMo
+    if spill is not None:
+        r, c, v = spill
+        assert bool(np.all(np.diff(r) >= 0)), "spill rows must be sorted"
+        z = len(r)
+    else:
+        r = c = v = None
+        z = 0
+    counts = (
+        np.bincount(r // TMo, minlength=nblk)
+        if z
+        else np.zeros(nblk, dtype=np.int64)
+    )
+    steps_per_blk = np.maximum(-(-counts // Q), 1)
+    step_base = np.zeros(nblk + 1, dtype=np.int64)
+    np.cumsum(steps_per_blk, out=step_base[1:])
+    ns = int(step_base[-1])
+    assert ns <= ns_pad, (ns, ns_pad)
+    rel = np.full((ns_pad, Q), TMo, dtype=np.int32)
+    cols = np.zeros((ns_pad, Q), dtype=np.int32)
+    vals = np.zeros((ns_pad, Q), dtype=np.float32)
+    blk = np.full(ns_pad, nblk - 1, dtype=np.int32)
+    blk[:ns] = np.repeat(
+        np.arange(nblk, dtype=np.int32), steps_per_blk.astype(np.int64)
+    )
+    first = np.zeros(ns_pad, dtype=np.int32)
+    first[step_base[:-1]] = 1
+    if z:
+        blk_of = (r // TMo).astype(np.int64)
+        starts = np.zeros(nblk + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        k = np.arange(z, dtype=np.int64) - starts[blk_of]
+        step_of = step_base[blk_of] + k // Q
+        slot = k % Q
+        rel[step_of, slot] = (r - blk_of * TMo).astype(np.int32)
+        cols[step_of, slot] = c
+        vals[step_of, slot] = v.astype(np.float32)
+    return rel[:, None, :], cols, vals, first, blk
+
+
+def _spill_block_kernel(
+    first_ref, blk_ref, rel_ref, c_ref, contrib_ref, o_ref,
+    *, TMo, Q, TN, mxu_precision,
+):
+    """One-hot MXU segmented reduce: no scatter anywhere — each step's Q
+    contribs land in their rows of the resident (TMo, TN) output block via
+    P @ contrib where P[t, q] = (rel[q] == t).  Same-block steps are
+    consecutive (host pack), so the block accumulates in VMEM and is
+    written once; the first step of each block folds in the main kernel's
+    C, making the output the complete result."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    s = pl.program_id(1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TMo, Q), 0)
+    P = (rel_ref[0] == iota).astype(jnp.float32)  # (1, Q) broadcast
+    cb = contrib_ref[0]                           # (Q, TN) fp32
+    dims = (((1,), (0,)), ((), ()))
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    if mxu_precision == "x3":
+        # bf16 one-hot is exact; contrib rides as an in-kernel hi/lo pair
+        # (~1e-5 per element, matching the x3 operating point)
+        ph = P.astype(jnp.bfloat16)
+        ch = cb.astype(jnp.bfloat16)
+        cl = (cb - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+        partial = dot(ph, ch) + dot(ph, cl)
+    elif mxu_precision == "default":
+        partial = dot(P.astype(jnp.bfloat16), cb.astype(jnp.bfloat16))
+    else:
+        partial = jax.lax.dot_general(
+            P, cb, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    first = first_ref[s] == 1
+
+    @pl.when(first)
+    def _():
+        o_ref[:] = c_ref[:] + partial
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        o_ref[:] = o_ref[:] + partial
+
+
+def spmm_spill_pallas(
+    c, rel, cols, vals, first, blk, b,
+    TMo: int = 128, Q: int = 128, mxu_precision: str = "highest",
+    interpret: bool = False,
+):
+    """C_full = C_main + spill, via the fused one-hot-MXU kernel.
+
+    ``c`` is the main ragged kernel's (M, n) fp32 output; the gather
+    (``take``) stays in XLA — TPU DMA wants block transfers, so per-nnz
+    B-row fetches are hoisted into one bulk gather whose (ns*Q, n) contrib
+    stream the kernel then reduces without any scatter (the r3-measured
+    21 ns/nnz XLA scatter is the dominant power-law cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    M = c.shape[0]
+    n_c = c.shape[1]
+    b, TN, n_orig = _pad_n(b, None)
+    assert n_c == n_orig, (n_c, n_orig)
+    n = b.shape[1]
+    if n != n_c:
+        c = jnp.pad(c, ((0, 0), (0, n - n_c)))
+    ns = rel.shape[0]
+    g = jnp.take(b, cols.reshape(-1), axis=0, mode="clip")
+    contrib = (
+        vals.reshape(-1)[:, None].astype(jnp.float32)
+        * g.astype(jnp.float32)
+    ).reshape(ns, Q, n)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .spmm_pallas import assert_tpu_blockable
+
+    # the CPU interpreter does not enforce Mosaic's block-shape rule —
+    # guard at trace time (the dd_mxu (1, TM) mu block was rejected only
+    # on real silicon)
+    assert_tpu_blockable((1, 1, Q), (ns, 1, Q))
+    assert_tpu_blockable((TMo, TN), (M, n))
+    assert_tpu_blockable((1, Q, TN), (ns, Q, n))
+
+    kern = functools.partial(
+        _spill_block_kernel, TMo=TMo, Q=Q, TN=TN,
+        mxu_precision=mxu_precision,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # first, blk
+        grid=(n // TN, ns),
+        in_specs=[
+            pl.BlockSpec((1, 1, Q), lambda j, s, *_: (s, 0, 0)),
+            pl.BlockSpec(
+                (TMo, TN), lambda j, s, f_ref, blk_ref: (blk_ref[s], j)
+            ),
+            pl.BlockSpec((1, Q, TN), lambda j, s, *_: (s, 0, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (TMo, TN), lambda j, s, f_ref, blk_ref: (blk_ref[s], j)
+        ),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(first), jnp.asarray(blk), jnp.asarray(rel),
+        c.astype(jnp.float32), contrib,
+    )
+    return out[:, :n_orig] if n != n_orig else out
+
+
 def spmm_spill_twopass(rows, inv, vals, uniq, b, nrow: int):
     """Compact-gather spill: B rows fetched once per unique spilled column
     (monotone gather), fanned out from the compact temp, then the same

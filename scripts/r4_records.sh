@@ -21,8 +21,9 @@ CRP_TPU_MXU_PREC=x3 timeout 3000 \
   --dtype=float32 --ntest=3 --inner=10 \
   --out=bench_results/r4_tpu_geometry.jsonl
 
-# 2. spill formulation A/B through the engine (adaptive geometry)
-for IMPL in clip twopass; do
+# 2. spill formulation A/B through the engine (adaptive geometry);
+#    "pallas" is the fused one-hot-MXU segmented reduce (no scatter)
+for IMPL in clip twopass pallas; do
   CRP_TPU_MXU_PREC=x3 CRP_TPU_SPILL_IMPL=$IMPL timeout 3000 \
     python -m crp_tpu.cli.suite_cli kernels \
     synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \

@@ -287,8 +287,15 @@ def test_panel_cap_escalates_spill_instead_of_refusing():
     assert rel_fro_err(a.spmm_ref(b), _ragged_apply(rw, b)) <= 1e-12
 
 
-@pytest.mark.parametrize("impl", ["segsum", "clip", "twopass"])
-def test_spill_impl_variants(impl, monkeypatch, devices8):
+@pytest.mark.parametrize("impl,dtype,tol", [
+    ("segsum", np.float64, 1e-12),
+    ("clip", np.float64, 1e-12),
+    ("twopass", np.float64, 1e-12),
+    # the fused one-hot-MXU kernel is fp32-only (fp64 dd keeps the VPU
+    # path); HIGHEST operating point -> fp32-class error
+    ("pallas", np.float32, 1e-5),
+])
+def test_spill_impl_variants(impl, dtype, tol, monkeypatch, devices8):
     """All spill formulations (CRP_TPU_SPILL_IMPL) agree with the
     reference through the engine."""
     monkeypatch.setenv("CRP_TPU_SPILL_IMPL", impl)
@@ -297,8 +304,39 @@ def test_spill_impl_variants(impl, monkeypatch, devices8):
     eng = RowParaSpmm(
         a, displs, displs, 24,
         mesh=make_mesh_1d(3, devices=devices8[:3]),
-        config=SpmmConfig(kernel="ragged"),
+        config=SpmmConfig(kernel="ragged"), dtype=dtype,
     )
     assert eng._local_fn.roofline["spill_nnz"] > 0  # variant exercised
-    b = np.random.default_rng(3).standard_normal((a.ncol, 24))
-    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+    b = np.random.default_rng(3).standard_normal((a.ncol, 24)).astype(dtype)
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= tol
+
+
+@pytest.mark.parametrize("prec", ["highest", "x3", "default"])
+def test_spill_pallas_direct(prec):
+    """Fused spill kernel vs the dense reference at every operating
+    point, including dummy blocks (rows with no spill) and multi-step
+    blocks."""
+    from crp_tpu.kernels.spmm_ragged import (
+        pack_spill_blocks, spmm_spill_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    M, n, Q = 512, 40, 128
+    z = 700
+    rows = np.sort(rng.integers(0, 260, z)).astype(np.int32)  # blocks 0-2
+    cols = rng.integers(0, 300, z).astype(np.int32)
+    vals = rng.standard_normal(z).astype(np.float32)
+    b = rng.standard_normal((300, n)).astype(np.float32)
+    c0 = rng.standard_normal((M, n)).astype(np.float32)
+    ref = c0.astype(np.float64).copy()
+    for r, cc, v in zip(rows, cols, vals):
+        ref[r] += float(v) * b[cc].astype(np.float64)
+    rel, pc, pv, first, blk = pack_spill_blocks(
+        (rows, cols, vals), 64, M, np.float32, TMo=128, Q=Q
+    )
+    out = np.asarray(spmm_spill_pallas(
+        jnp.asarray(c0), rel, pc, pv, first, blk, jnp.asarray(b),
+        TMo=128, Q=Q, mxu_precision=prec, interpret=True,
+    ))
+    tol = {"highest": 2e-6, "x3": 2e-4, "default": 2e-2}[prec]
+    assert rel_fro_err(ref, out) <= tol
