@@ -19,6 +19,8 @@ Usage:
                     # pallas,ragged,dd,dd_mxu,pallas_halo
 
 Common flags: --engine=para2d|rowpara  --kernel=...  --dtype=...
+  --reorder=rcm|metis (locality reordering before packing, recorded with
+  before/after bandwidth — the cage15-rcm preprocessing analog)
   --ntest=N  --out=FILE.jsonl  --cpu-mesh=N (re-exec on an N-device
   virtual CPU mesh — the reference's "mpirun -np P on one box")
   --distributed (call jax.distributed.initialize first: run the SAME
@@ -260,6 +262,30 @@ def main(argv=None) -> int:
 
     sweep = pos[0]
     a = load_matrix(pos[1], need_symm=False)
+    # --reorder=rcm|metis: bandwidth/locality reordering BEFORE packing —
+    # the reference benches reordered social graphs as separate inputs
+    # (cage15-rcm, SC23_AD/readme.md:95-102); here it is a recorded
+    # preprocessing step so scrambled-id graphs regain the community
+    # structure the ragged cover needs
+    reorder_info = None
+    if "reorder" in opt:
+        from ..sparse.reorder import metis_row_partition, rcm_reorder
+
+        bw0 = int(a.bandwidth())
+        t0 = time.perf_counter()
+        if opt["reorder"] == "rcm":
+            a, _ = rcm_reorder(a)
+        elif opt["reorder"] == "metis":
+            a, _, _ = metis_row_partition(
+                a, int(opt.get("reorder-parts", 8))
+            )
+        else:
+            raise SystemExit(f"unknown --reorder={opt['reorder']!r}")
+        reorder_info = dict(
+            method=opt["reorder"],
+            seconds=round(time.perf_counter() - t0, 2),
+            bandwidth_before=bw0, bandwidth_after=int(a.bandwidth()),
+        )
     ntest = int(opt.get("ntest", 3))
     inner = int(opt.get("inner", 10))
     check = int(opt.get("check", 1))
@@ -332,6 +358,8 @@ def main(argv=None) -> int:
             )
         rec["sweep"] = sweep
         rec["spec"] = pos[1]  # matrix source (file path or synth:spec)
+        if reorder_info is not None:
+            rec["reorder"] = reorder_info
         line = json.dumps(rec)
         print(line, flush=True)
         if out:

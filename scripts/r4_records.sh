@@ -21,6 +21,20 @@ CRP_TPU_MXU_PREC=x3 timeout 3000 \
   --dtype=float32 --ntest=3 --inner=10 \
   --out=bench_results/r4_tpu_geometry.jsonl
 
+# 1b. reorder A/B on the SCRAMBLED-id cplaw (the raw-graph view): without
+#     reorder the ragged cover refuses and the engine falls back to
+#     segsum; --reorder=metis (GGGP here) restores community locality
+CRP_TPU_MXU_PREC=x3 timeout 3000 \
+  python -m crp_tpu.cli.suite_cli kernels \
+  synth:cplaw:786432:16:1024:85:perm 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=5 \
+  --out=bench_results/r4_tpu_reorder.jsonl
+CRP_TPU_MXU_PREC=x3 timeout 3600 \
+  python -m crp_tpu.cli.suite_cli kernels \
+  synth:cplaw:786432:16:1024:85:perm 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=10 --reorder=metis \
+  --out=bench_results/r4_tpu_reorder.jsonl
+
 # 2. spill formulation A/B through the engine (adaptive geometry);
 #    "pallas" is the fused one-hot-MXU segmented reduce (no scatter)
 for IMPL in clip twopass pallas; do

@@ -266,3 +266,27 @@ def test_calc_partition_cli_usage(capsys):
     from crp_tpu.cli.calc_partition_cli import main
 
     assert main([]) == 255
+
+
+def test_suite_cli_reorder_flag(capsys):
+    """--reorder=metis: scrambled-id community graph is reordered before
+    packing (recorded with before/after bandwidth) and the ragged request
+    survives on the MXU instead of falling back to segsum."""
+    import json
+
+    from crp_tpu.cli.suite_cli import main as suite_main
+
+    rc = suite_main([
+        "kernels", "synth:cplaw:8192:12:512:85:perm", "16", "2",
+        "--engine=rowpara", "--list=ragged", "--ntest=1", "--inner=2",
+        "--reorder=metis",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    (rec,) = [json.loads(l) for l in lines]
+    assert rec["rel_fro_err"] <= 1e-5
+    assert rec["reorder"]["method"] == "metis"
+    assert rec["reorder"]["bandwidth_before"] > 0
+    assert rec["kernel_resolved"] == "ragged"
+    assert rec["kernel_detail"]["mxu_frac"] >= 0.3
