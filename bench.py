@@ -198,9 +198,17 @@ def supervise() -> int:
     attempt_timeout = float(
         os.environ.get("CRP_BENCH_ATTEMPT_TIMEOUT_S", 2700)
     )
+    # total wall budget: a wedged chip claim must not eat the whole round
+    # (the r3 wedge lasted >5 h)
+    total_budget = float(os.environ.get("CRP_BENCH_TOTAL_TIMEOUT_S", 5400))
+    t_start = time.monotonic()
     env = dict(os.environ, CRP_BENCH_CHILD="1")
     failures = []
     for attempt in range(1, retries + 1):
+        attempt_timeout = min(
+            attempt_timeout,
+            max(total_budget - (time.monotonic() - t_start), 60),
+        )
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -222,7 +230,11 @@ def supervise() -> int:
             {"attempt": attempt, "rc": proc.returncode, "tail": tail[-400:]}
         )
         transient = any(m in tail for m in _TRANSIENT_MARKERS)
-        if not transient or attempt == retries:
+        if (
+            not transient
+            or attempt == retries
+            or time.monotonic() - t_start > total_budget
+        ):
             break
         delay = backoff * (2 ** (attempt - 1))
         print(

@@ -1,0 +1,81 @@
+"""bench.py harness regressions (VERDICT r3 weak #5).
+
+The round headline depends on bench.py surviving the flaky relay: one
+backend hiccup cost round 3 its record (BENCH_r03.json rc=1, raw
+traceback).  These tests run the real script as a subprocess on the CPU
+backend and check (a) the success path emits one parseable JSON line with
+the accuracy field, (b) a transient failure retries then emits a
+structured error record instead of a traceback.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run(extra_env, timeout=420):
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        CRP_BENCH_NROW="4000",
+        CRP_BENCH_NTEST="1",
+        CRP_BENCH_INNER="2",
+        **extra_env,
+    )
+    env.pop("CRP_BENCH_CHILD", None)
+    env.pop("JAX_ENABLE_X64", None)  # conftest x64 is irrelevant here
+    return subprocess.run(
+        [sys.executable, BENCH], capture_output=True, text=True,
+        timeout=timeout, env=env,
+    )
+
+
+def _last_json(out):
+    lines = [l for l in out.splitlines() if l.strip().startswith("{")]
+    assert lines, out
+    return json.loads(lines[-1])
+
+
+def test_bench_success_emits_headline_with_accuracy():
+    res = _run({})
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = _last_json(res.stdout)
+    assert rec["unit"] == "s" and rec["value"] > 0
+    assert rec["vs_baseline"] > 0
+    # the reference's acceptance metric rides in every headline
+    assert 0 <= rec["rel_fro_err"] < 1e-4
+    assert "init_breakdown" in rec
+
+
+def test_bench_transient_failure_yields_structured_record():
+    # an attempt timeout is classified transient: one retry, then a
+    # structured {"error": ...} JSON line — never a bare traceback
+    res = _run({
+        "CRP_BENCH_ATTEMPT_TIMEOUT_S": "3",
+        "CRP_BENCH_RETRIES": "2",
+        "CRP_BENCH_RETRY_BACKOFF_S": "1",
+    })
+    assert res.returncode == 1
+    rec = _last_json(res.stdout)
+    assert rec["value"] is None
+    assert "error" in rec and len(rec["attempts"]) == 2
+
+
+def test_bench_total_budget_bounds_retries():
+    # a wedged claim must not eat the round: the total budget stops the
+    # retry loop even when attempts keep being classified transient
+    res = _run({
+        "CRP_BENCH_ATTEMPT_TIMEOUT_S": "3",
+        "CRP_BENCH_RETRIES": "50",
+        "CRP_BENCH_RETRY_BACKOFF_S": "1",
+        "CRP_BENCH_TOTAL_TIMEOUT_S": "8",
+    }, timeout=120)
+    assert res.returncode == 1
+    rec = _last_json(res.stdout)
+    assert "error" in rec
+    assert len(rec["attempts"]) <= 4
