@@ -12,6 +12,9 @@ import json
 import sys
 
 DEFAULT_FILES = [
+    "bench_results/r4_tpu_geometry.jsonl",
+    "bench_results/r4_tpu_spill_impl.jsonl",
+    "bench_results/r4_tpu_reorder.jsonl",
     "bench_results/r3_tpu_matrix.jsonl",
     "bench_results/r3_tpu_plaw.jsonl",
     "bench_results/r3_tpu_dd.jsonl",
