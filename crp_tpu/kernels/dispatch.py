@@ -767,10 +767,13 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
             TMo = Qs = 128
 
             def _sorted_spill(p_):
+                # (block, column) order: the one-hot routes rows, so
+                # column-sorting within a block makes the XLA bulk gather
+                # near-monotone over B
                 if p_ is None or p_.spill is None:
                     return None
                 r, cl, v = p_.spill
-                order = np.argsort(r, kind="stable")
+                order = np.lexsort((cl, r // TMo))
                 return r[order], cl[order], v[order]
 
             spills = [_sorted_spill(p_) for p_ in packs]

@@ -862,7 +862,11 @@ def pack_spill_blocks(
     nblk = M // TMo
     if spill is not None:
         r, c, v = spill
-        assert bool(np.all(np.diff(r) >= 0)), "spill rows must be sorted"
+        # only BLOCK order matters (rows are routed by the one-hot):
+        # callers sort by (block, column) so the bulk gather walks B
+        # near-monotonically within each block's steps
+        assert bool(np.all(np.diff(r // TMo) >= 0)), \
+            "spill must be sorted by output block"
         z = len(r)
     else:
         r = c = v = None
