@@ -16,7 +16,7 @@ Usage:
                                       # ``figures/plot_vary_n2.m:4-7``)
   crp-suite modes   <mtx|synth:spec> <n> <p>        # a2a vs ring vs overlap
   crp-suite kernels <mtx|synth:spec> <n> <p>        # --list=segsum,ell,
-                    # pallas,ragged,dd,dd_mxu,pallas_halo
+                    # pallas,ragged,gather,dd,dd_mxu,pallas_halo
 
 Common flags: --engine=para2d|rowpara  --kernel=...  --dtype=...
   --reorder=rcm|metis (locality reordering before packing, recorded with

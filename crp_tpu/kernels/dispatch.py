@@ -120,6 +120,9 @@ def pack_local_kernel(
     if kind == "dd_mxu":
         return _pack_dd_mxu(shards, max_m)
 
+    if kind == "gather":
+        return _pack_gather(shards, max_m, dtype, mxu_precision)
+
     if kind == "dd":
         import jax
 
@@ -903,6 +906,67 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
         spill_max=Z,
         mxu_frac=mxu_nnz / total_nnz,
         passes={"x3": 3, "highest": 6, "default": 1}.get(mxu_precision, 1),
+    )
+    return arrays, local_fn
+
+
+def _pack_gather(shards, max_m, dtype, mxu_precision):
+    """"gather" kernel: EVERY nnz takes the bulk-gather + one-hot-MXU
+    block-reduce path (``spmm_gather_chunked``) — no interval cover, no
+    scatter.  Serves scrambled/pure power-law matrices the ragged cover
+    refuses, where segsum's ~21 ns/nnz XLA scatter is otherwise the only
+    path (reference seam: any-CSR MKL/cuSPARSE,
+    ``src/rowpara_spmm.c:398-407``).  fp32 only (dd keeps the VPU path).
+    """
+    import jax
+
+    from .spmm_pallas import UnsupportedSparsity
+    from .spmm_ragged import (
+        gather_step_layout, pack_gather_blocks, spmm_gather_chunked,
+    )
+
+    if np.dtype(dtype) != np.float32:
+        raise UnsupportedSparsity("gather kernel is fp32-only")
+    interpret = jax.default_backend() != "tpu"
+    TMo = Qs = 128
+    M = -(-max_m // TMo) * TMo
+    nblk = M // TMo
+    total_nnz = 0
+    blk_counts = []
+    for rowptr, cc, v in shards:
+        nrow = len(rowptr) - 1
+        idx = np.minimum(
+            np.arange(nblk + 1, dtype=np.int64) * TMo, max(nrow, 0)
+        )
+        blk_counts.append(np.diff(rowptr[idx]).astype(np.int64))
+        total_nnz += int(rowptr[-1]) - int(rowptr[0]) if nrow > 0 else 0
+    if total_nnz == 0:
+        raise UnsupportedSparsity("all shards empty")
+    step_base = gather_step_layout(blk_counts, Qs)
+    packs = [
+        pack_gather_blocks(rowptr, cc, v, step_base, M, TMo=TMo, Q=Qs)
+        for rowptr, cc, v in shards
+    ]
+    arrays = tuple(
+        np.stack([p[i] for p in packs]) for i in range(5)
+    )  # rel, cols, vals, first, blk
+    ns = int(step_base[-1])
+
+    def local_fn(arrs, rB):
+        return spmm_gather_chunked(
+            arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], rB,
+            step_base=step_base, TMo=TMo, Q=Qs,
+            mxu_precision=mxu_precision, interpret=interpret,
+        ).astype(rB.dtype)
+
+    local_fn.min_b_rows = 1
+    local_fn.variant = "gather"
+    local_fn.roofline = dict(
+        G=nblk, TM=TMo, W=Qs, S=ns,
+        a_bytes=sum(a.nbytes for a in arrays),
+        b_rows_read=ns * Qs, c_rows=M, b_itemsize=4,
+        spill_nnz=total_nnz, mxu_frac=0.0,
+        passes={"x3": 2, "highest": 6, "default": 1}.get(mxu_precision, 1),
     )
     return arrays, local_fn
 

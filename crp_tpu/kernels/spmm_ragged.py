@@ -904,8 +904,8 @@ def pack_spill_blocks(
 
 
 def _spill_block_kernel(
-    first_ref, blk_ref, rel_ref, c_ref, contrib_ref, o_ref,
-    *, TMo, Q, TN, mxu_precision,
+    first_ref, blk_ref, rel_ref, *rest,
+    TMo, Q, TN, mxu_precision, has_c=True,
 ):
     """One-hot MXU segmented reduce: no scatter anywhere — each step's Q
     contribs land in their rows of the resident (TMo, TN) output block via
@@ -917,6 +917,10 @@ def _spill_block_kernel(
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    if has_c:
+        c_ref, contrib_ref, o_ref = rest
+    else:
+        (contrib_ref, o_ref), c_ref = rest, None
     s = pl.program_id(1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (TMo, Q), 0)
     P = (rel_ref[0] == iota).astype(jnp.float32)  # (1, Q) broadcast
@@ -945,7 +949,7 @@ def _spill_block_kernel(
 
     @pl.when(first)
     def _():
-        o_ref[:] = c_ref[:] + partial
+        o_ref[:] = (c_ref[:] + partial) if has_c else partial
 
     @pl.when(jnp.logical_not(first))
     def _():
@@ -955,25 +959,28 @@ def _spill_block_kernel(
 def spmm_spill_pallas(
     c, rel, cols, vals, first, blk, b,
     TMo: int = 128, Q: int = 128, mxu_precision: str = "highest",
-    interpret: bool = False,
+    interpret: bool = False, M: int | None = None,
 ):
     """C_full = C_main + spill, via the fused one-hot-MXU kernel.
 
-    ``c`` is the main ragged kernel's (M, n) fp32 output; the gather
-    (``take``) stays in XLA — TPU DMA wants block transfers, so per-nnz
-    B-row fetches are hoisted into one bulk gather whose (ns*Q, n) contrib
-    stream the kernel then reduces without any scatter (the r3-measured
-    21 ns/nnz XLA scatter is the dominant power-law cost)."""
+    ``c`` is the main ragged kernel's (M, n) fp32 output (or None for a
+    pure gather-reduce, e.g. the "gather" kernel kind — then ``M`` must be
+    given); the gather (``take``) stays in XLA — TPU DMA wants block
+    transfers, so per-nnz B-row fetches are hoisted into one bulk gather
+    whose (ns*Q, n) contrib stream the kernel then reduces without any
+    scatter (the r3-measured 21 ns/nnz XLA scatter is the dominant
+    power-law cost)."""
     import jax
     import jax.numpy as jnp
 
-    M = c.shape[0]
-    n_c = c.shape[1]
+    has_c = c is not None
+    M = c.shape[0] if has_c else int(M)
     b, TN, n_orig = _pad_n(b, None)
-    assert n_c == n_orig, (n_c, n_orig)
     n = b.shape[1]
-    if n != n_c:
-        c = jnp.pad(c, ((0, 0), (0, n - n_c)))
+    if has_c:
+        assert c.shape[1] == n_orig, (c.shape, n_orig)
+        if n != c.shape[1]:
+            c = jnp.pad(c, ((0, 0), (0, n - c.shape[1])))
     ns = rel.shape[0]
     g = jnp.take(b, cols.reshape(-1), axis=0, mode="clip")
     contrib = (
@@ -995,22 +1002,25 @@ def spmm_spill_pallas(
 
     kern = functools.partial(
         _spill_block_kernel, TMo=TMo, Q=Q, TN=TN,
-        mxu_precision=mxu_precision,
+        mxu_precision=mxu_precision, has_c=has_c,
     )
+    c_spec = [
+        pl.BlockSpec((TMo, TN), lambda j, s, f_ref, blk_ref: (blk_ref[s], j))
+    ] if has_c else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # first, blk
         grid=(n // TN, ns),
-        in_specs=[
-            pl.BlockSpec((1, 1, Q), lambda j, s, *_: (s, 0, 0)),
-            pl.BlockSpec(
-                (TMo, TN), lambda j, s, f_ref, blk_ref: (blk_ref[s], j)
-            ),
-            pl.BlockSpec((1, Q, TN), lambda j, s, *_: (s, 0, j)),
-        ],
+        in_specs=[pl.BlockSpec((1, 1, Q), lambda j, s, *_: (s, 0, 0))]
+        + c_spec
+        + [pl.BlockSpec((1, Q, TN), lambda j, s, *_: (s, 0, j))],
         out_specs=pl.BlockSpec(
             (TMo, TN), lambda j, s, f_ref, blk_ref: (blk_ref[s], j)
         ),
     )
+    operands = [jnp.asarray(first), jnp.asarray(blk), jnp.asarray(rel)]
+    if has_c:
+        operands.append(c.astype(jnp.float32))
+    operands.append(contrib)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1019,11 +1029,113 @@ def spmm_spill_pallas(
             vmem_limit_bytes=64 << 20
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(first), jnp.asarray(blk), jnp.asarray(rel),
-        c.astype(jnp.float32), contrib,
-    )
+    )(*operands)
     return out[:, :n_orig] if n != n_orig else out
+
+
+def gather_step_layout(
+    blk_counts_list: list[np.ndarray], Q: int
+) -> np.ndarray:
+    """Shared step layout for the "gather" kernel across shards: per block,
+    steps = max over shards of ceil(count / Q), min 1 — every shard packs
+    into the same (block -> step range) table so one program serves all
+    shards and chunk boundaries stay block-aligned everywhere."""
+    steps = np.maximum.reduce(
+        [-(-c // Q) for c in blk_counts_list]
+    )
+    steps = np.maximum(steps, 1)
+    step_base = np.zeros(len(steps) + 1, dtype=np.int64)
+    np.cumsum(steps, out=step_base[1:])
+    return step_base
+
+
+def pack_gather_blocks(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    val: np.ndarray,
+    step_base: np.ndarray,
+    M: int,
+    TMo: int = 128,
+    Q: int = 128,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pack a whole CSR shard into one-hot gather steps (the "gather"
+    kernel: every nnz takes the bulk-gather + one-hot-MXU reduce path).
+    Entries are ordered by (output block, column) — rows are routed by the
+    one-hot, so column order makes the B gather near-monotone.  Layout
+    (``step_base``) is shared across shards (:func:`gather_step_layout`).
+    Returns (rel (ns, 1, Q), cols (ns, Q), vals (ns, Q), first (ns,),
+    blk (ns,))."""
+    nblk = M // TMo
+    ns = int(step_base[-1])
+    nrow = len(rowptr) - 1
+    counts = np.diff(rowptr)
+    base = int(rowptr[0]) if nrow >= 0 and len(rowptr) else 0
+    nnz = int(rowptr[-1]) - base if len(rowptr) > 1 else 0
+    r = np.repeat(np.arange(nrow, dtype=np.int64), counts)
+    # colidx/val are indexed by absolute rowptr values (shard convention
+    # shared with pack_ragged_window)
+    c = np.asarray(colidx)[base : base + nnz]
+    v = np.asarray(val, dtype=np.float32)[base : base + nnz]
+    order = np.lexsort((c, r // TMo))
+    r, c, v = r[order], c[order], v[order]
+    rel = np.full((ns, Q), TMo, dtype=np.int32)
+    cols = np.zeros((ns, Q), dtype=np.int32)
+    vals = np.zeros((ns, Q), dtype=np.float32)
+    blk = np.repeat(
+        np.arange(nblk, dtype=np.int32), np.diff(step_base).astype(np.int64)
+    )
+    first = np.zeros(ns, dtype=np.int32)
+    first[step_base[:-1]] = 1
+    z = len(r)
+    if z:
+        blk_of = r // TMo
+        bcnt = np.bincount(blk_of, minlength=nblk)
+        starts = np.zeros(nblk + 1, dtype=np.int64)
+        np.cumsum(bcnt, out=starts[1:])
+        k = np.arange(z, dtype=np.int64) - starts[blk_of]
+        step_of = step_base[blk_of] + k // Q
+        slot = k % Q
+        rel[step_of, slot] = (r - blk_of * TMo).astype(np.int32)
+        cols[step_of, slot] = c
+        vals[step_of, slot] = v
+    return rel[:, None, :], cols, vals, first, blk
+
+
+def spmm_gather_chunked(
+    rel, cols, vals, first, blk, b,
+    *, step_base: np.ndarray, TMo: int = 128, Q: int = 128,
+    mxu_precision: str = "highest", interpret: bool = False,
+):
+    """(M, n) = gather-reduce of all packed nnz; chunks the contrib stream
+    over block-aligned step ranges so HBM peak stays under
+    ``CRP_TPU_GATHER_GB`` (default 4) regardless of nnz."""
+    import os
+
+    import jax.numpy as jnp
+
+    nblk = len(step_base) - 1
+    tn = 256 if b.shape[1] % 256 == 0 else 128
+    n_pad = -(-b.shape[1] // tn) * tn
+    budget = float(os.environ.get("CRP_TPU_GATHER_GB", 4)) * 2**30
+    steps_budget = max(int(budget // (Q * n_pad * 4)), 1)
+    outs = []
+    b0 = 0
+    while b0 < nblk:
+        b1 = b0 + 1
+        while (
+            b1 < nblk
+            and step_base[b1 + 1] - step_base[b0] <= steps_budget
+        ):
+            b1 += 1
+        s0, s1 = int(step_base[b0]), int(step_base[b1])
+        outs.append(spmm_spill_pallas(
+            None, rel[s0:s1], cols[s0:s1], vals[s0:s1], first[s0:s1],
+            blk[s0:s1] - b0, b, TMo=TMo, Q=Q,
+            mxu_precision=mxu_precision, interpret=interpret,
+            M=(b1 - b0) * TMo,
+        ))
+        b0 = b1
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def spmm_spill_twopass(rows, inv, vals, uniq, b, nrow: int):

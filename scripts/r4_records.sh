@@ -35,6 +35,16 @@ CRP_TPU_MXU_PREC=x3 timeout 3600 \
   --dtype=float32 --ntest=3 --inner=10 --reorder=metis \
   --out=bench_results/r4_tpu_reorder.jsonl
 
+# 1c. gather-kernel A/B on the scrambled cplaw: same matrix as 1b without
+#     reorder — segsum's scatter vs the one-hot-MXU gather-reduce
+for K in segsum gather; do
+  CRP_TPU_MXU_PREC=x3 timeout 3000 \
+    python -m crp_tpu.cli.suite_cli kernels \
+    synth:cplaw:786432:16:1024:85:perm 256 1 --engine=rowpara --list=$K \
+    --dtype=float32 --ntest=3 --inner=5 \
+    --out=bench_results/r4_tpu_reorder.jsonl
+done
+
 # 2. spill formulation A/B through the engine (adaptive geometry);
 #    "pallas" is the fused one-hot-MXU segmented reduce (no scatter)
 for IMPL in clip twopass pallas; do

@@ -340,3 +340,39 @@ def test_spill_pallas_direct(prec):
     ))
     tol = {"highest": 2e-6, "x3": 2e-4, "default": 2e-2}[prec]
     assert rel_fro_err(ref, out) <= tol
+
+
+@pytest.mark.parametrize("p", [1, 3])
+def test_engine_gather_kernel(p, devices8, monkeypatch):
+    """kernel="gather": every nnz through the bulk-gather + one-hot-MXU
+    block reduce — the scrambled/pure-power-law path (no cover, no
+    scatter). Forcing a tiny contrib budget exercises the block-aligned
+    chunking."""
+    monkeypatch.setenv("CRP_TPU_GATHER_GB", "0.001")  # force multi-chunk
+    a = powerlaw_random_csr(2500, avg_degree=13, seed=4,
+                            dtype=np.float32)
+    displs = csr_row_partition(a.rowptr, p)
+    eng = RowParaSpmm(
+        a, displs, displs, 24,
+        mesh=make_mesh_1d(p, devices=devices8[:p]),
+        config=SpmmConfig(kernel="gather"), dtype=np.float32,
+    )
+    assert eng._local_fn.variant == "gather"
+    b = np.random.default_rng(3).standard_normal((a.ncol, 24)) \
+        .astype(np.float32)
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-5
+
+
+def test_gather_rejects_fp64(devices8):
+    """fp64 keeps its accuracy contract: gather is fp32-only, the engine
+    falls back to the VPU dd path."""
+    a = banded_random_csr(600, nnz_per_row=5, bandwidth=40, seed=9)
+    displs = csr_row_partition(a.rowptr, 2)
+    eng = RowParaSpmm(
+        a, displs, displs, 8,
+        mesh=make_mesh_1d(2, devices=devices8[:2]),
+        config=SpmmConfig(kernel="gather"), dtype=np.float64,
+    )
+    assert eng.kernel_kind in ("dd", "segsum")
+    b = np.random.default_rng(1).standard_normal((a.ncol, 8))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
