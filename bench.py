@@ -63,6 +63,9 @@ _TRANSIENT_MARKERS = (
 
 def _run_measurement():
     """The actual single-attempt benchmark (child process)."""
+    poison = os.environ.get("CRP_BENCH_TEST_FAIL")
+    if poison:  # deterministic fault injection for the harness tests
+        raise RuntimeError(poison)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
@@ -192,7 +195,12 @@ def _terminate(proc: subprocess.Popen, grace_s: float = 30.0) -> None:
 
 
 def supervise() -> int:
-    """Run the measurement in a child with bounded retries on relay faults."""
+    """Run the measurement in a child with bounded retries on relay faults.
+
+    SIGTERM/SIGINT on the supervisor (e.g. an outer ``timeout``) must not
+    orphan the child: a measurement process killed mid-claim is the
+    suspected cause of the multi-hour wedged chip grants, and an orphan
+    holding the relay claim blocks every later run."""
     retries = int(os.environ.get("CRP_BENCH_RETRIES", 3))
     backoff = float(os.environ.get("CRP_BENCH_RETRY_BACKOFF_S", 60))
     attempt_timeout = float(
@@ -204,6 +212,18 @@ def supervise() -> int:
     t_start = time.monotonic()
     env = dict(os.environ, CRP_BENCH_CHILD="1")
     failures = []
+    current = []  # the live child, for the signal handler
+
+    def _on_signal(signum, frame):
+        if current:
+            _terminate(current[0], grace_s=10.0)
+        sys.exit(128 + signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:  # not the main thread (embedded use)
+            pass
     for attempt in range(1, retries + 1):
         attempt_timeout = min(
             attempt_timeout,
@@ -214,11 +234,14 @@ def supervise() -> int:
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
         )
+        current[:] = [proc]
         try:
             out, errout = proc.communicate(timeout=attempt_timeout)
         except subprocess.TimeoutExpired:
             _terminate(proc)
             out, errout = "", "attempt timed out after %ss" % attempt_timeout
+        finally:
+            current.clear()
         if errout:
             sys.stderr.write(errout[-4000:])
         record, line = _last_json_line(out)
@@ -230,6 +253,10 @@ def supervise() -> int:
             {"attempt": attempt, "rc": proc.returncode, "tail": tail[-400:]}
         )
         transient = any(m in tail for m in _TRANSIENT_MARKERS)
+        # compile-helper 500s are often deterministic (DMA-semaphore
+        # budget, compile OOM — see CLAUDE.md): retry once, not forever
+        if "tpu_compile_helper" in tail and attempt >= 2:
+            transient = False
         if (
             not transient
             or attempt == retries

@@ -50,9 +50,10 @@ def main(argv=None) -> int:
 
     rows = []
     out = open(opt["out"], "a") if "out" in opt else None
-    for p in procs:
+    for i, p in enumerate(procs):
         rec = project_exec_1d(
-            a, n, p, mxu_prec=prec, dtype=dtype, calibration=calibration
+            a, n, p, mxu_prec=prec, dtype=dtype, calibration=calibration,
+            include_provenance=(i == 0),  # constant text: first row only
         )
         rec.update(matrix=pos[0], n=n, prec=prec)
         rows.append(rec)

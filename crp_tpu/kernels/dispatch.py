@@ -243,10 +243,21 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
     itemsize = np.dtype(dtype).itemsize
     bytes_uniform = len(shards) * G_est * 256 * W_est * itemsize
     if W_est > 4096 or bytes_uniform > (1 << 30):
-        # wide windows: compare against a ragged cover before densifying
-        from .spmm_ragged import estimate_ragged, ragged_params
+        # wide windows: compare against a ragged cover before densifying —
+        # priced at the geometry _pack_ragged would actually use, so this
+        # gate and the projection model's mirror stay consistent
+        from .spmm_ragged import estimate_ragged, resolve_ragged_geometry
 
-        TMr, Wcr = ragged_params()
+        interpret_ = jax.default_backend() != "tpu"
+        big = max(
+            (s for s in shards if len(s[0]) > 1),
+            key=lambda s: int(s[0][-1]) - int(s[0][0]),
+        )
+        # one resolve on the largest shard — the same choice
+        # _pack_ragged itself will make
+        TMr, Wcr = resolve_ragged_geometry(
+            big[0], big[1], mxu_precision, interpret=interpret_
+        )
         bytes_ragged = 0
         for rowptr, cc, _ in shards:
             if len(rowptr) < 2 or int(rowptr[-1]) == int(rowptr[0]):

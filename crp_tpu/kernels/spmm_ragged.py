@@ -139,9 +139,12 @@ def choose_ragged_geometry(
     """
     import os
 
+    # defaults mirror plan/project.py's _rates() (same provenance): the
+    # chooser and the projection model must price identical kernels
+    # identically
     hbm = float(os.environ.get("CRP_PROJ_HBM_GBPS", 623)) * 1e9
     spill_ns = float(os.environ.get("CRP_PROJ_SPILL_NS", 21)) * 1e-9
-    mxu = float(os.environ.get("CRP_PROJ_MXU_TFLOPS", 136)) * 1e12
+    mxu = float(os.environ.get("CRP_PROJ_MXU_TFLOPS", 165)) * 1e12
     passes = {"x3": 3, "highest": 6, "default": 1}.get(mxu_precision, 1)
     a_itemsize = {"x3": 4, "default": 2}.get(mxu_precision, 4)
     b_itemsize = 2 if mxu_precision == "default" else 4
@@ -787,14 +790,21 @@ def spmm_ragged_bf16(
 
 def spill_impl() -> str:
     """Spill-path formulation: ``segsum`` (take(fill) + sorted segment
-    sum, the r3 default), ``clip`` (branch-free take), or ``twopass``
+    sum, the r3 default), ``clip`` (branch-free take), ``twopass``
     (host-deduped column gather: B rows are fetched once per UNIQUE
     spilled column — a monotone gather — then fanned out from the compact
-    temp).  Set ``CRP_TPU_SPILL_IMPL``; the winner on chip is measured by
-    ``scripts/spill_microbench.py``."""
+    temp), or ``pallas`` (fused one-hot-MXU block reduce, no scatter;
+    fp32 only).  Set ``CRP_TPU_SPILL_IMPL``; the winner on chip is
+    measured by ``scripts/spill_microbench.py`` + ``r4_records.sh``."""
     import os
 
-    return os.environ.get("CRP_TPU_SPILL_IMPL", "segsum")
+    impl = os.environ.get("CRP_TPU_SPILL_IMPL", "segsum")
+    valid = ("segsum", "clip", "twopass", "pallas")
+    if impl not in valid:
+        raise ValueError(
+            f"CRP_TPU_SPILL_IMPL={impl!r} not in {valid}"
+        )
+    return impl
 
 
 def pack_spill(
@@ -1204,9 +1214,11 @@ def spmm_spill_chunked(rows, cols, vals, b, nrow: int,
 
     def body(c, sl):
         r, cl, v = sl
-        contrib = v[:, None].astype(b.dtype) * jnp.take(
-            b, cl, axis=0, fill_value=0
-        )
+        if take_mode == "clip":
+            g_ = jnp.take(b, cl, axis=0, mode="clip")
+        else:
+            g_ = jnp.take(b, cl, axis=0, fill_value=0)
+        contrib = v[:, None].astype(b.dtype) * g_
         return c.at[r].add(
             contrib, mode="drop", indices_are_sorted=True
         ), None

@@ -102,7 +102,7 @@ def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize):
 
 def project_exec_1d(
     a, n, p, *, mxu_prec="x3", dtype=np.float32, reidx=True,
-    calibration: float = 1.0,
+    calibration: float = 1.0, include_provenance: bool = False,
 ):
     """Projected 1D row-parallel exec time for p chips.
 
@@ -165,7 +165,9 @@ def project_exec_1d(
             mxu_tflops=rates["mxu"] / 1e12, hbm_gbps=rates["hbm"] / 1e9,
             ici_gbps=rates["ici"] / 1e9, spill_ns=rates["spill_ns"],
         ),
-        rate_provenance=RATE_PROVENANCE,
+        # ~1.2 KB of constant text: emitted once per run, not per row
+        **({"rate_provenance": RATE_PROVENANCE}
+           if include_provenance else {}),
         calibration=round(calibration, 4),
     )
 

@@ -83,7 +83,7 @@ CRP_TPU_MXU_PREC=x3 timeout 3600 python -m crp_tpu.cli.suite_cli vary_n \
   --out=bench_results/r3_tpu_matrix.jsonl
 
 # 7. headline bench (records the init breakdown)
-timeout 3000 python bench.py | tee /tmp/r3_bench_headline.json
+CRP_BENCH_TOTAL_TIMEOUT_S=2600 CRP_BENCH_RETRIES=2 timeout 3000 python bench.py | tee /tmp/r3_bench_headline.json
 
 # round-4 queue (adaptive geometry + spill formulation A/Bs)
 bash scripts/r4_records.sh

@@ -53,10 +53,10 @@ def test_bench_success_emits_headline_with_accuracy():
 
 
 def test_bench_transient_failure_yields_structured_record():
-    # an attempt timeout is classified transient: one retry, then a
-    # structured {"error": ...} JSON line — never a bare traceback
+    # an injected relay-style fault is classified transient: one retry,
+    # then a structured {"error": ...} JSON line — never a bare traceback
     res = _run({
-        "CRP_BENCH_ATTEMPT_TIMEOUT_S": "3",
+        "CRP_BENCH_TEST_FAIL": "UNAVAILABLE: injected relay fault (test)",
         "CRP_BENCH_RETRIES": "2",
         "CRP_BENCH_RETRY_BACKOFF_S": "1",
     })
@@ -66,14 +66,25 @@ def test_bench_transient_failure_yields_structured_record():
     assert "error" in rec and len(rec["attempts"]) == 2
 
 
+def test_bench_nontransient_failure_does_not_retry():
+    res = _run({
+        "CRP_BENCH_TEST_FAIL": "ValueError: a real bug (test)",
+        "CRP_BENCH_RETRIES": "3",
+        "CRP_BENCH_RETRY_BACKOFF_S": "1",
+    })
+    assert res.returncode == 1
+    rec = _last_json(res.stdout)
+    assert "error" in rec and len(rec["attempts"]) == 1
+
+
 def test_bench_total_budget_bounds_retries():
     # a wedged claim must not eat the round: the total budget stops the
     # retry loop even when attempts keep being classified transient
     res = _run({
-        "CRP_BENCH_ATTEMPT_TIMEOUT_S": "3",
+        "CRP_BENCH_TEST_FAIL": "UNAVAILABLE: injected relay fault (test)",
         "CRP_BENCH_RETRIES": "50",
-        "CRP_BENCH_RETRY_BACKOFF_S": "1",
-        "CRP_BENCH_TOTAL_TIMEOUT_S": "8",
+        "CRP_BENCH_RETRY_BACKOFF_S": "4",
+        "CRP_BENCH_TOTAL_TIMEOUT_S": "6",
     }, timeout=120)
     assert res.returncode == 1
     rec = _last_json(res.stdout)

@@ -299,6 +299,11 @@ def test_spill_impl_variants(impl, dtype, tol, monkeypatch, devices8):
     """All spill formulations (CRP_TPU_SPILL_IMPL) agree with the
     reference through the engine."""
     monkeypatch.setenv("CRP_TPU_SPILL_IMPL", impl)
+    # pin geometry + break-even so the cover is guaranteed to spill
+    # (the adaptive chooser is free to pick a spill-free cover here)
+    monkeypatch.setenv("CRP_TPU_RAGGED_TM", "128")
+    monkeypatch.setenv("CRP_TPU_RAGGED_WC", "256")
+    monkeypatch.setenv("CRP_TPU_RAGGED_MIN_NNZ", "40")
     a = powerlaw_random_csr(2500, avg_degree=13, seed=4)
     displs = csr_row_partition(a.rowptr, 3)
     eng = RowParaSpmm(
@@ -376,3 +381,11 @@ def test_gather_rejects_fp64(devices8):
     assert eng.kernel_kind in ("dd", "segsum")
     b = np.random.default_rng(1).standard_normal((a.ncol, 8))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_spill_impl_validates(monkeypatch):
+    from crp_tpu.kernels.spmm_ragged import spill_impl
+
+    monkeypatch.setenv("CRP_TPU_SPILL_IMPL", "palas")  # typo must raise
+    with pytest.raises(ValueError, match="CRP_TPU_SPILL_IMPL"):
+        spill_impl()
