@@ -187,7 +187,9 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
             csr_bytes=int(
                 a.nnz * (4 + np.dtype(dtype).itemsize) + (a.nrow + 1) * 8
             ),
-            **{k: rl[k] for k in ("mxu_frac", "S", "spill_nnz") if k in rl},
+            **{k: rl[k]
+               for k in ("mxu_frac", "S", "spill_nnz", "TM", "W")
+               if k in rl},
         )
 
     b = np.asarray(
@@ -360,6 +362,14 @@ def main(argv=None) -> int:
         rec["spec"] = pos[1]  # matrix source (file path or synth:spec)
         if reorder_info is not None:
             rec["reorder"] = reorder_info
+        # pin the knobs that shape the pack/exec so A/B rows in one file
+        # stay distinguishable (e.g. CRP_TPU_SPILL_IMPL sweeps)
+        knobs = {
+            k: v for k, v in os.environ.items()
+            if k.startswith(("CRP_TPU_", "CRP_PROJ_", "CRP_BENCH_"))
+        }
+        if knobs:
+            rec["knobs"] = knobs
         line = json.dumps(rec)
         print(line, flush=True)
         if out:
