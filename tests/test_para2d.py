@@ -141,3 +141,31 @@ def test_para2d_rectangular_planner(devices8):
                      mesh=make_mesh_2d(plan.pm, plan.pn, devices=devices8))
     b = np.asarray(fill_b(0, 300, 0, 16))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_para2d_gather_and_pallas_spill(devices8, monkeypatch):
+    """Round-4 kernel kinds through the 2D engine: the gather one-hot
+    reduce and the fused pallas spill formulation both shard over pm."""
+    from crp_tpu.config import SpmmConfig
+
+    a = powerlaw_random_csr(1600, avg_degree=12, seed=41,
+                            dtype=np.float32)
+    n = 16
+    plan = force_plan(a, n, 2, 2)
+    mesh = make_mesh_2d(2, 2, devices=devices8)
+    b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
+    ref = a.spmm_ref(b)
+
+    eng = Para2dSpmm(a, plan, mesh=mesh, dtype=np.float32,
+                     config=SpmmConfig(kernel="gather"))
+    assert eng._local_fn.variant == "gather"
+    assert rel_fro_err(ref, eng.exec(b)) <= 1e-5
+
+    monkeypatch.setenv("CRP_TPU_SPILL_IMPL", "pallas")
+    monkeypatch.setenv("CRP_TPU_RAGGED_TM", "128")
+    monkeypatch.setenv("CRP_TPU_RAGGED_WC", "256")
+    monkeypatch.setenv("CRP_TPU_RAGGED_MIN_NNZ", "40")
+    eng = Para2dSpmm(a, plan, mesh=mesh, dtype=np.float32,
+                     config=SpmmConfig(kernel="ragged"))
+    assert eng._local_fn.roofline["spill_nnz"] > 0
+    assert rel_fro_err(ref, eng.exec(b)) <= 1e-5
