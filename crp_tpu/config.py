@@ -102,6 +102,12 @@ class SpmmConfig:
     dtype: str = "float64"
     kernel: str = "auto"
     overlap: int = 0
+    # reference BC_layout (rp_spmm_init arg, src/rowpara_spmm.c:225-264,
+    # 400-407): 1 = B arrives as (n, k) and C returns as (n, m) — the
+    # col-major view.  On TPU the conversion is a device-side XLA
+    # transpose at HBM speed (XLA owns physical layouts; only the LOGICAL
+    # orientation of the user arrays needs a switch).
+    bc_layout: int = 0
     # MXU pass scheme for fp32 data in the pallas kernel:
     # "highest" = full fp32 emulation (~1e-7), "x3" = 3-pass bf16 split
     # (~5e-6, faster on MXU-bound shapes), "default" = 1 bf16 pass (~1e-3)
@@ -118,5 +124,8 @@ class SpmmConfig:
             dtype=os.environ.get("CRP_TPU_DTYPE", "float64"),
             kernel=os.environ.get("CRP_TPU_KERNEL", "auto"),
             overlap=get_env_int("CRP_TPU_OVERLAP", 0, 0, 1, var_name="overlap"),
+            bc_layout=get_env_int(
+                "CRP_TPU_BC_LAYOUT", 0, 0, 1, var_name="BC_layout"
+            ),
             mxu_precision=os.environ.get("CRP_TPU_MXU_PREC", "highest"),
         )

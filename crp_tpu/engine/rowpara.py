@@ -307,6 +307,12 @@ class RowParaSpmm:
         # resolved kernel after auto-selection and sparsity fallbacks
         self.kernel_kind = "pallas_halo" if self.is_halo else kind
         self.b_sharding = NamedSharding(self.mesh, P(self.axis, None, None))
+        if self.config.bc_layout and (self.is_dd or self.is_halo):
+            raise ValueError(
+                "BC_layout=1 supports the standard kernel paths; dd packs "
+                "B as hi/lo halves and pallas_halo pads n host-side"
+            )
+        self._bt_jit = self._ct_jit = None  # lazy BC_layout transposes
         self._exec_jit = self._make_exec()
         if not (self.overlap or self.is_halo or self._identity_exchange):
             self._exchange_jit, self._spmm_jit = self._make_staged()
@@ -450,7 +456,28 @@ class RowParaSpmm:
 
         With the dd kernel, B is split hi/lo and packed as (k, 2n) fp32
         before sharding; the exchange layer moves rows unchanged.
+
+        With ``config.bc_layout = 1`` (the reference's col-major view,
+        ``src/rowpara_spmm.c:225-264``) ``b`` arrives as (n, k): column
+        slabs are staged host-side in the user's orientation and
+        transposed ON DEVICE — one HBM-speed XLA pass, since XLA owns
+        physical layouts.
         """
+        if self.config.bc_layout:
+            b = np.asarray(b, dtype=self.dtype)
+            displs = self.B_row_displs
+            p = len(displs) - 1
+            slabs = np.zeros((p, b.shape[0], self.max_k), dtype=self.dtype)
+            for i in range(p):
+                s, e = int(displs[i]), int(displs[i + 1])
+                slabs[i, :, : e - s] = b[:, s:e]
+            d = jax.device_put(slabs, self.b_sharding)
+            if self._bt_jit is None:
+                self._bt_jit = jax.jit(
+                    lambda x: jnp.transpose(x, (0, 2, 1)),
+                    out_shardings=self.b_sharding,
+                )
+            return self._bt_jit(d)
         if self.is_dd:
             from ..kernels.spmm_dd import pack_b_dd
 
@@ -463,6 +490,28 @@ class RowParaSpmm:
         return jax.device_put(bs, self.b_sharding)
 
     def unshard_c(self, c_shards) -> np.ndarray:
+        if self.config.bc_layout:
+            # device-side transpose, then host assembly along columns:
+            # C returns as (n, m) (reference BC_layout col-major view)
+            if self._ct_jit is None:
+                self._ct_jit = jax.jit(
+                    lambda x: jnp.transpose(x, (0, 2, 1)),
+                    out_shardings=self.b_sharding,
+                )
+            ct = np.asarray(self._ct_jit(c_shards))  # (p, n, max_m)
+            displs = self.A_row_displs
+            c = np.concatenate(
+                [ct[i][:, : int(displs[i + 1] - displs[i])]
+                 for i in range(len(displs) - 1)],
+                axis=1,
+            )
+            if c.shape[1] < self.glb_m:
+                c = np.concatenate(
+                    [c, np.zeros((c.shape[0], self.glb_m - c.shape[1]),
+                                 c.dtype)],
+                    axis=1,
+                )
+            return c
         c = unshard_dense_rows(np.asarray(c_shards), self.A_row_displs)
         if self.is_halo and c.shape[1] > self.glb_n:
             c = c[:, : self.glb_n]

@@ -212,3 +212,31 @@ def test_rowpara_trailing_empty_rows_referenced_columns(devices8):
                       mesh=make_mesh_1d(4, devices=devices8))
     b = np.asarray(fill_b(0, 16, 0, 4))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_bc_layout_col_major_view(devices8):
+    """Reference BC_layout=1 (src/rowpara_spmm.c:225-264,400-407): B
+    arrives as (n, k), C returns as (n, m); the conversion is a
+    device-side XLA transpose, not a host copy in disguise."""
+    a = banded_random_csr(700, nnz_per_row=7, bandwidth=45, seed=77)
+    n = 24
+    displs = csr_row_partition(a.rowptr, 3)
+    b = np.asarray(fill_b(0, a.ncol, 0, n))
+    ref = a.spmm_ref(b)
+
+    eng = RowParaSpmm(
+        a, displs, displs, n, mesh=make_mesh_1d(3, devices=devices8[:3]),
+        config=SpmmConfig(bc_layout=1),
+    )
+    c_t = eng.exec(np.ascontiguousarray(b.T))  # (n, k) in
+    assert c_t.shape == (n, a.nrow)            # (n, m) out
+    assert rel_fro_err(ref.T, c_t) <= 1e-12
+
+    # dd keeps its packed-halves contract: BC_layout must be rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="BC_layout"):
+        RowParaSpmm(
+            a, displs, displs, n,
+            mesh=make_mesh_1d(3, devices=devices8[:3]),
+            config=SpmmConfig(bc_layout=1, kernel="dd"),
+        )
