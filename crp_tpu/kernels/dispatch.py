@@ -266,7 +266,10 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
             bytes_ragged += S * TMr * Wcr * itemsize
         if bytes_uniform > 3 * max(bytes_ragged, 1):
             try:
-                return _pack_ragged(shards, max_m, dtype, mxu_precision)
+                return _pack_ragged(
+                    shards, max_m, dtype, mxu_precision,
+                    geometry=(TMr, Wcr),  # skip a second resolve sweep
+                )
             except UnsupportedSparsity:
                 pass  # ragged not worthwhile either; try uniform below
 
@@ -648,7 +651,8 @@ def _extend_and_stack_steps(shard_steps, G):
     return a_g, a_first, a_starts, S
 
 
-def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
+def _pack_ragged(shards, max_m, dtype, mxu_precision="highest",
+                 geometry=None):
     """Ragged gathered-window pack: per-group chunk lists + VPU spill.
 
     Serves the sparsity classes the uniform windowed kernel rejects —
@@ -674,16 +678,19 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest"):
     # share one kernel program, hence one (TM, Wc)); env knobs pin it.
     # Off-TPU the interpreter's per-step cost scales with scratch size,
     # so Wc is capped (tests run tiny correctness-only shapes).
-    big = max(
-        (s for s in shards if len(s[0]) > 1),
-        key=lambda s: int(s[0][-1]) - int(s[0][0]),
-        default=None,
-    )
-    if big is None:
-        big = (np.zeros(1, np.int64), np.zeros(0, np.int32))
-    TM, Wc = resolve_ragged_geometry(
-        big[0], big[1], mxu_precision, interpret=interpret
-    )
+    if geometry is not None:
+        TM, Wc = geometry  # caller (the uniform gate) already resolved
+    else:
+        big = max(
+            (s for s in shards if len(s[0]) > 1),
+            key=lambda s: int(s[0][-1]) - int(s[0][0]),
+            default=None,
+        )
+        if big is None:
+            big = (np.zeros(1, np.int64), np.zeros(0, np.int32))
+        TM, Wc = resolve_ragged_geometry(
+            big[0], big[1], mxu_precision, interpret=interpret
+        )
     pack_dtype = np.float64 if np.dtype(dtype) == np.float64 else np.float32
 
     # single-shard bf16 operating points densify straight to bf16 (no
