@@ -222,3 +222,35 @@ def test_crp_halo_falls_back_on_unsupported(devices8):
     assert not eng.is_halo
     b = np.asarray(fill_b(0, a.ncol, 0, n))
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-12
+
+
+def test_crp_gather_and_ragged_kernels(devices8, monkeypatch):
+    """Round-4 kernel kinds through the any-layout engine: gather (one-hot
+    MXU reduce) and ragged with the fused pallas spill, both under the
+    full redistribution chain."""
+    a = powerlaw_random_csr(900, avg_degree=12, seed=44, dtype=np.float32)
+    n = 16
+    user_B = user_grid(a.ncol, n, 4, 1)
+    user_C = user_grid(a.nrow, n, 1, 4)
+    from crp_tpu.plan.bandwidth import calc_bandwidth_part2d
+
+    bp = calc_bandwidth_part2d(
+        4, a.nrow, n, a.ncol, a.rowptr, a.row_col_ranges_v1()
+    )
+    mesh = make_mesh_2d(bp.np_row, bp.np_col, devices=devices8)
+    b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
+    ref = a.spmm_ref(b)
+
+    eng = CrpSpmm(a, n, user_B, user_C, nproc=4, mesh=mesh,
+                  config=SpmmConfig(kernel="gather"), dtype=np.float32)
+    assert eng._local_fn.variant == "gather"
+    assert rel_fro_err(ref, eng.exec(b)) <= 1e-5
+
+    monkeypatch.setenv("CRP_TPU_SPILL_IMPL", "pallas")
+    monkeypatch.setenv("CRP_TPU_RAGGED_TM", "128")
+    monkeypatch.setenv("CRP_TPU_RAGGED_WC", "256")
+    monkeypatch.setenv("CRP_TPU_RAGGED_MIN_NNZ", "200")  # force spill
+    eng = CrpSpmm(a, n, user_B, user_C, nproc=4, mesh=mesh,
+                  config=SpmmConfig(kernel="ragged"), dtype=np.float32)
+    assert eng._local_fn.roofline["spill_nnz"] > 0
+    assert rel_fro_err(ref, eng.exec(b)) <= 1e-5
