@@ -7,14 +7,25 @@
 # step 5) prices the formulations in isolation, including the new segblock
 # one-hot-MXU variant.
 cd /root/repo
+# Stop launching new steps near round end so the chip is FREE when the
+# driver runs its own bench.py. Override with CRP_QUEUE_DEADLINE_EPOCH.
+DEADLINE=${CRP_QUEUE_DEADLINE_EPOCH:-1787031000}  # 2026-08-18 05:30 UTC
+check_deadline() {
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "[records] deadline reached; leaving the chip free for the driver"
+    exit 0
+  fi
+}
 set -x
 
 # 1. geometry A/B at the x3 operating point
+check_deadline
 CRP_TPU_MXU_PREC=x3 CRP_TPU_RAGGED_AUTO=0 timeout 3000 \
   python -m crp_tpu.cli.suite_cli kernels \
   synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
   --dtype=float32 --ntest=3 --inner=10 \
   --out=bench_results/r4_tpu_geometry.jsonl
+check_deadline
 CRP_TPU_MXU_PREC=x3 timeout 3000 \
   python -m crp_tpu.cli.suite_cli kernels \
   synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
@@ -24,11 +35,13 @@ CRP_TPU_MXU_PREC=x3 timeout 3000 \
 # 1b. reorder A/B on the SCRAMBLED-id cplaw (the raw-graph view): without
 #     reorder the ragged cover refuses and the engine falls back to
 #     segsum; --reorder=metis (GGGP here) restores community locality
+check_deadline
 CRP_TPU_MXU_PREC=x3 timeout 3000 \
   python -m crp_tpu.cli.suite_cli kernels \
   synth:cplaw:786432:16:1024:85:perm 256 1 --engine=rowpara --list=ragged \
   --dtype=float32 --ntest=3 --inner=5 \
   --out=bench_results/r4_tpu_reorder.jsonl
+check_deadline
 CRP_TPU_MXU_PREC=x3 timeout 3600 \
   python -m crp_tpu.cli.suite_cli kernels \
   synth:cplaw:786432:16:1024:85:perm 256 1 --engine=rowpara --list=ragged \
@@ -37,6 +50,7 @@ CRP_TPU_MXU_PREC=x3 timeout 3600 \
 
 # 1c. gather-kernel A/B on the scrambled cplaw: same matrix as 1b without
 #     reorder — segsum's scatter vs the one-hot-MXU gather-reduce
+check_deadline
 for K in segsum gather; do
   CRP_TPU_MXU_PREC=x3 timeout 3000 \
     python -m crp_tpu.cli.suite_cli kernels \
@@ -47,6 +61,7 @@ done
 
 # 2. spill formulation A/B through the engine (adaptive geometry);
 #    "pallas" is the fused one-hot-MXU segmented reduce (no scatter)
+check_deadline
 for IMPL in clip twopass pallas; do
   CRP_TPU_MXU_PREC=x3 CRP_TPU_SPILL_IMPL=$IMPL timeout 3000 \
     python -m crp_tpu.cli.suite_cli kernels \
