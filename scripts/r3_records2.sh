@@ -23,6 +23,7 @@ set -x
 #    uniform/sg kernel at all three fp32 operating points + segsum.
 check_deadline
 for PREC in x3 default highest; do
+  check_deadline
   CRP_TPU_MXU_PREC=$PREC timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
     synth:banded:217918:53:2500 256 1 --engine=rowpara --list=pallas \
     --dtype=float32 --ntest=3 --inner=10 --project=1 \
@@ -53,6 +54,7 @@ CRP_TPU_DD_NO_MXU=1 timeout 1800 python -m crp_tpu.cli.suite_cli kernels \
 #    operating points (segsum row already recorded in r3_tpu_plaw.jsonl).
 check_deadline
 for PREC in x3 default highest; do
+  check_deadline
   CRP_TPU_MXU_PREC=$PREC timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
     synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
     --dtype=float32 --ntest=3 --inner=10 --project=1 \
@@ -64,6 +66,7 @@ done
 #     at TM=512; spill is geometry-invariant at 2.04M nnz)
 check_deadline
 for TMWC in "512 256" "256 512"; do
+  check_deadline
   set -- $TMWC
   CRP_TPU_MXU_PREC=x3 CRP_TPU_RAGGED_TM=$1 CRP_TPU_RAGGED_WC=$2 \
     timeout 3000 python -m crp_tpu.cli.suite_cli kernels \

@@ -52,6 +52,7 @@ CRP_TPU_MXU_PREC=x3 timeout 3600 \
 #     reorder — segsum's scatter vs the one-hot-MXU gather-reduce
 check_deadline
 for K in segsum gather; do
+  check_deadline
   CRP_TPU_MXU_PREC=x3 timeout 3000 \
     python -m crp_tpu.cli.suite_cli kernels \
     synth:cplaw:786432:16:1024:85:perm 256 1 --engine=rowpara --list=$K \
@@ -63,6 +64,7 @@ done
 #    "pallas" is the fused one-hot-MXU segmented reduce (no scatter)
 check_deadline
 for IMPL in clip twopass pallas; do
+  check_deadline
   CRP_TPU_MXU_PREC=x3 CRP_TPU_SPILL_IMPL=$IMPL timeout 3000 \
     python -m crp_tpu.cli.suite_cli kernels \
     synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
