@@ -50,6 +50,25 @@ def fmt(rec):
         point = kern  # dd / dd_mxu are their own operating points
     else:
         point = f"{kern}/{prec}" if prec else kern
+    # distinguish A/B rows sharing one kernel/point (spill impls, pinned
+    # geometry, reorder) so dedup does not silently merge them
+    knobs = rec.get("knobs", {})
+    tags = []
+    if knobs.get("CRP_TPU_SPILL_IMPL"):
+        tags.append(f"spill={knobs['CRP_TPU_SPILL_IMPL']}")
+    if knobs.get("CRP_TPU_RAGGED_TM") or knobs.get("CRP_TPU_RAGGED_WC"):
+        tags.append(
+            f"TMxWc={knobs.get('CRP_TPU_RAGGED_TM', '?')}x"
+            f"{knobs.get('CRP_TPU_RAGGED_WC', '?')}"
+        )
+    if knobs.get("CRP_TPU_RAGGED_AUTO") == "0":
+        tags.append("fixed-geom")
+    if rec.get("reorder"):
+        tags.append(f"reorder={rec['reorder']['method']}")
+    if rec.get("spec", "").endswith(":perm") and not rec.get("reorder"):
+        tags.append("scrambled")
+    if tags:
+        point += " (" + ", ".join(tags) + ")"
     vs = REFERENCE_SECONDS / t if rec.get("matrix", {}).get("m") == 217918 \
         and rec.get("n") == 256 else None
     mfu = (rec.get("roofline") or {}).get("mxu_util")
