@@ -240,3 +240,20 @@ def test_bc_layout_col_major_view(devices8):
             mesh=make_mesh_1d(3, devices=devices8[:3]),
             config=SpmmConfig(bc_layout=1, kernel="dd"),
         )
+
+
+@pytest.mark.parametrize("kernel", ["segsum", "pallas", "ragged", "gather"])
+def test_n_equals_one_spmv_degenerate(kernel, devices8):
+    """n = 1 (the SpMV degenerate): every kernel pads the n-tile internally
+    and slices back; the reference supports any glb_n >= 1 implicitly."""
+    dtype = np.float32 if kernel == "gather" else np.float64
+    a = banded_random_csr(600, nnz_per_row=7, bandwidth=50, seed=91,
+                          dtype=dtype)
+    displs = csr_row_partition(a.rowptr, 2)
+    eng = RowParaSpmm(
+        a, displs, displs, 1, mesh=make_mesh_1d(2, devices=devices8[:2]),
+        config=SpmmConfig(kernel=kernel), dtype=dtype,
+    )
+    b = np.random.default_rng(2).standard_normal((a.ncol, 1)).astype(dtype)
+    tol = 1e-5 if dtype == np.float32 else 1e-12
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= tol
