@@ -227,6 +227,39 @@ def main():
         results[tag] = t
         print(f"# {tag} rel err vs segsum: {err:.2e}", file=sys.stderr)
 
+    # fused pallas one-hot-MXU segmented reduce (CRP_TPU_SPILL_IMPL=pallas):
+    # the production spill path — bulk take + block reduce, no scatter
+    from crp_tpu.kernels.spmm_ragged import (
+        pack_spill_blocks, spmm_spill_pallas,
+    )
+
+    M = -(-nrow // 128) * 128
+    order_bc = np.lexsort((c_, r // 128))
+    rp, cp, vp = r[order_bc], c_[order_bc], v[order_bc]
+    counts_b = np.bincount(rp // 128, minlength=M // 128)
+    ns_p = int(np.maximum(-(-counts_b // 128), 1).sum())
+    prel, pcols, pvals, pfirst, pblk = pack_spill_blocks(
+        (rp, cp, vp), ns_p, M, np.float32
+    )
+    c0 = jnp.zeros((M, n), jnp.float32)
+
+    # pass the pack as jit ARGUMENTS (closures bake MB-scale constants
+    # into the HLO -> relay HTTP 413)
+    pargs = tuple(jnp.asarray(x) for x in (prel, pcols, pvals, pfirst, pblk))
+    for prec, tag in (("x3", "pallas_x3"), ("highest", "pallas_hi")):
+        interp = jax.default_backend() != "tpu"
+        fn = jax.jit(
+            lambda cc, rel2, cols2, vals2, first2, blk2, bb, _p=prec:
+            spmm_spill_pallas(cc, rel2, cols2, vals2, first2, blk2, bb,
+                              mxu_precision=_p, interpret=interp)
+        )
+        t = timeit(fn, c0, *pargs, bj)
+        out = np.asarray(fn(c0, *pargs, bj))[:nrow]
+        err = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-30)
+        results[tag] = t
+        print(f"# {tag} rel err vs segsum: {err:.2e} (steps={ns_p}, "
+              f"pad={ns_p * 128 / z:.2f})", file=sys.stderr)
+
     # two-pass: dedup cols -> compact gather -> indexed second gather
     uniq, inv = np.unique(c_, return_inverse=True)
     uj, ij = jnp.asarray(uniq.astype(np.int32)), jnp.asarray(
