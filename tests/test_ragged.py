@@ -389,3 +389,62 @@ def test_spill_impl_validates(monkeypatch):
     monkeypatch.setenv("CRP_TPU_SPILL_IMPL", "palas")  # typo must raise
     with pytest.raises(ValueError, match="CRP_TPU_SPILL_IMPL"):
         spill_impl()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_block_pack_invariants_fuzz(seed):
+    """pack_spill_blocks / pack_gather_blocks invariants under random
+    shapes: every nnz lands in exactly one (step, slot) with the right
+    block, rel ids stay in [0, TMo], blk is sorted with every block
+    present, and first marks exactly the block starts."""
+    from crp_tpu.kernels.spmm_ragged import (
+        gather_step_layout, pack_gather_blocks, pack_spill_blocks,
+    )
+
+    rng = np.random.default_rng(seed)
+    TMo = Q = 128
+    nrow = int(rng.integers(1, 1200))
+    M = -(-nrow // TMo) * TMo
+    z = int(rng.integers(0, 5000))
+    rows = np.sort(rng.integers(0, nrow, z)).astype(np.int64)
+    cols = rng.integers(0, 3000, z).astype(np.int32)
+    vals = rng.standard_normal(z).astype(np.float32)
+
+    counts = np.bincount(rows // TMo, minlength=M // TMo)
+    ns = int(np.maximum(-(-counts // Q), 1).sum())
+    rel, pc, pv, first, blk = pack_spill_blocks(
+        (rows, cols, vals) if z else None, ns + 3, M, np.float32,
+        TMo=TMo, Q=Q,
+    )
+    assert rel.shape == (ns + 3, 1, Q)
+    assert np.all(np.diff(blk) >= 0)
+    assert set(np.unique(blk[: ns])) == set(range(M // TMo))
+    assert first[0] == 1 and first.sum() == M // TMo
+    live = rel[:, 0, :] < TMo  # pad slots carry rel == TMo
+    assert int(live.sum()) == z
+    # reconstruct (row, col, val) multiset from the pack
+    rr = (blk[:, None] * TMo + rel[:, 0, :])[live]
+    assert sorted(zip(rr.tolist(), pc[live].tolist(), pv[live].tolist())) \
+        == sorted(zip(rows.tolist(), cols.tolist(), vals.tolist()))
+
+    # gather pack over a CSR built from the same entries
+    if z:
+        from crp_tpu.sparse.csr import CSRMatrix
+
+        a = CSRMatrix.from_coo(nrow, 3000, rows, cols,
+                               vals.astype(np.float64), dtype=np.float32)
+        step_base = gather_step_layout(
+            [np.diff(a.rowptr[np.minimum(
+                np.arange(M // TMo + 1) * TMo, nrow)]).astype(np.int64)],
+            Q,
+        )
+        grel, gc, gv, gfirst, gblk = pack_gather_blocks(
+            a.rowptr, a.colidx, a.val, step_base, M, TMo=TMo, Q=Q,
+        )
+        glive = grel[:, 0, :] < TMo
+        assert int(glive.sum()) == a.nnz
+        grr = (gblk[:, None] * TMo + grel[:, 0, :])[glive]
+        got = sorted(zip(grr.tolist(), gc[glive].tolist()))
+        # from_coo keeps duplicate (row, col) entries (column-sorted)
+        exp = sorted(zip(rows.tolist(), [int(c2) for c2 in cols]))
+        assert got == exp
