@@ -62,6 +62,11 @@ class CrpSpmm:
         bplan=None,  # precomputed BandwidthPlan (skips re-planning)
     ) -> None:
         self.config = config or SpmmConfig()
+        if self.config.bc_layout:
+            raise ValueError(
+                "BC_layout=1 is a RowParaSpmm feature (the reference's "
+                "rp_spmm seam); this engine takes row-major (k, n)/(m, n)"
+            )
         self.a = a
         self.m, self.k, self.n = a.nrow, a.ncol, n
         self.nproc = nproc or user_B.p

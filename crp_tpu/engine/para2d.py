@@ -54,6 +54,11 @@ class Para2dSpmm:
         dtype=None,  # default: SpmmConfig.dtype
     ) -> None:
         self.config = config or SpmmConfig()
+        if self.config.bc_layout:
+            raise ValueError(
+                "BC_layout=1 is a RowParaSpmm feature (the reference's "
+                "rp_spmm seam); this engine takes row-major (k, n)/(m, n)"
+            )
         self.plan = plan
         self.pm, self.pn = plan.pm, plan.pn
         self.glb_n = plan.n
@@ -88,6 +93,11 @@ class Para2dSpmm:
         (``src/para2d_spmm.c:47-100``).  Never builds a host-global A."""
         self = cls.__new__(cls)
         self.config = config or SpmmConfig()
+        if self.config.bc_layout:
+            raise ValueError(
+                "BC_layout=1 is a RowParaSpmm feature (the reference's "
+                "rp_spmm seam); this engine takes row-major (k, n)/(m, n)"
+            )
         self.plan = plan
         self.pm, self.pn = plan.pm, plan.pn
         self.glb_n = plan.n

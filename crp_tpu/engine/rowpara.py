@@ -113,6 +113,21 @@ class RowParaSpmm:
         self.overlap = bool(self.config.overlap)
         self.is_dd = kind in ("dd", "dd_mxu")
         self.is_halo = kind == "pallas_halo"
+        if self.config.bc_layout and self.is_halo:
+            if self.config.kernel == "auto":
+                kind, self.is_halo = "pallas", False  # auto: pick the
+                # nearest compatible kernel instead of refusing
+            else:
+                raise ValueError(
+                    "BC_layout=1 is incompatible with kernel='pallas_halo' "
+                    "(the fused kernel pads n host-side)"
+                )
+        if self.config.bc_layout and self.is_dd:
+            # validate BEFORE the multi-minute pack+upload, not after
+            raise ValueError(
+                "BC_layout=1 supports the standard kernel paths; dd packs "
+                "B as hi/lo halves"
+            )
         if self.is_dd and self.overlap:
             raise ValueError(
                 "kernel='dd' is incompatible with overlap=1: the per-shift "
@@ -307,11 +322,6 @@ class RowParaSpmm:
         # resolved kernel after auto-selection and sparsity fallbacks
         self.kernel_kind = "pallas_halo" if self.is_halo else kind
         self.b_sharding = NamedSharding(self.mesh, P(self.axis, None, None))
-        if self.config.bc_layout and (self.is_dd or self.is_halo):
-            raise ValueError(
-                "BC_layout=1 supports the standard kernel paths; dd packs "
-                "B as hi/lo halves and pallas_halo pads n host-side"
-            )
         self._bt_jit = self._ct_jit = None  # lazy BC_layout transposes
         self._exec_jit = self._make_exec()
         if not (self.overlap or self.is_halo or self._identity_exchange):

@@ -19,6 +19,7 @@ DEFAULT_FILES = [
     "bench_results/r3_tpu_plaw.jsonl",
     "bench_results/r3_tpu_dd.jsonl",
     "bench_results/r3_tpu_bigmat.jsonl",
+    "bench_results/r3_tpu_plaw_tm.jsonl",
     "bench_results/r3_tpu_halo_smoke.jsonl",
 ]
 
@@ -103,6 +104,12 @@ def main(files):
             best[key] = r
     rows = sorted(best.values(), key=lambda r: (r["cls"], r["t"]))
 
+    print("# Consolidated on-chip results "
+          "(roll-up of bench_results/*.jsonl)")
+    print()
+    print("Regenerate with `python scripts/gen_matrix_table.py > "
+          "bench_results/MATRIX_TABLE.md` after each chip window.")
+    print()
     print("| matrix class | kernel/point | n | s/exec | vs reference "
           "(1.060 s) | rel err | MFU |")
     print("|---|---|---|---|---|---|---|")

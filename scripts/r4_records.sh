@@ -11,7 +11,9 @@ cd /root/repo
 # driver runs its own bench.py. Override with CRP_QUEUE_DEADLINE_EPOCH.
 DEADLINE=${CRP_QUEUE_DEADLINE_EPOCH:-1787031000}  # 2026-08-18 05:30 UTC
 check_deadline() {
-  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+  # only start a step that can plausibly FINISH before the deadline
+  # (typical step ~5-20 min; $1 overrides the 1200 s budget)
+  if [ "$(( $(date +%s) + ${1:-1200} ))" -ge "$DEADLINE" ]; then
     echo "[records] deadline reached; leaving the chip free for the driver"
     exit 0
   fi

@@ -257,3 +257,27 @@ def test_n_equals_one_spmv_degenerate(kernel, devices8):
     b = np.random.default_rng(2).standard_normal((a.ncol, 1)).astype(dtype)
     tol = 1e-5 if dtype == np.float32 else 1e-12
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= tol
+
+
+def test_bc_layout_rejected_outside_rowpara(devices8):
+    """bc_layout=1 must not be silently ignored by the 2D / any-layout
+    engines (it changes the user-facing array orientation)."""
+    import pytest as _pytest
+
+    from crp_tpu.engine.para2d import Para2dSpmm
+    from crp_tpu.plan.planner2d import plan_from_csr
+
+    a = banded_random_csr(300, nnz_per_row=5, bandwidth=20, seed=3)
+    plan = plan_from_csr(a, 8, 4)
+    with _pytest.raises(ValueError, match="BC_layout"):
+        Para2dSpmm(a, plan, config=SpmmConfig(bc_layout=1))
+
+    from crp_tpu.engine.crp import CrpSpmm
+    from crp_tpu.shard.redist import BlockDist
+    from crp_tpu.utils.blocks import uniform_displs
+
+    user_B = BlockDist.from_row_slabs(uniform_displs(a.ncol, 4), 8)
+    user_C = BlockDist.from_row_slabs(uniform_displs(a.nrow, 4), 8)
+    with _pytest.raises(ValueError, match="BC_layout"):
+        CrpSpmm(a, 8, user_B, user_C, nproc=4,
+                config=SpmmConfig(bc_layout=1))
