@@ -82,11 +82,18 @@ class SpmmConfig:
         everywhere) | "ell" | "pallas" (MXU windowed kernel; routes to the
         ragged gathered-window hybrid when the uniform window is
         infeasible or wasteful) | "ragged" (force the ragged hybrid) |
-        "dd" (double-float fp64-class; on TPU auto-upgrades to the Ozaki
-        MXU kernel when the cover fits) | "dd_mxu" (force the fp64-class
-        MXU kernel) | "pallas_halo" (fused kernel: B halo rows RDMA-pushed
-        between chips inside the kernel, compute gated per chunk —
-        banded/reordered matrices).
+        "gather" (one-hot-MXU block reduce over every nnz: the
+        scrambled/pure power-law class, fp32 only) | "dd" (double-float
+        fp64-class; on TPU auto-upgrades to the Ozaki MXU kernel when the
+        cover fits) | "dd_mxu" (force the fp64-class MXU kernel) |
+        "pallas_halo" (fused kernel: B halo rows RDMA-pushed between chips
+        inside the kernel, compute gated per chunk — banded/reordered
+        matrices).  A kernel that rejects the matrix's sparsity at pack
+        time falls back along a structure-aware chain (fp32 TPU:
+        gather -> segsum; dd-class: VPU dd; else segsum — override with
+        ``CRP_TPU_FALLBACK``), so any CSR runs at the best available rate
+        like the reference's MKL/cuSPARSE seam
+        (``src/rowpara_spmm.c:398-407``).
     overlap:
         Overlap the B-row exchange with compute (TPU-only design, no
         reference equivalent — SURVEY.md section 7 calls this out as new):

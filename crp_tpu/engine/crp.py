@@ -38,7 +38,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import SpmmConfig
 from ..comm.exchange import build_b_exchange, exchange_b, exchange_b_ring
-from ..kernels.dispatch import pack_local_kernel
+from ..kernels.dispatch import pack_with_fallback
 from ..plan.bandwidth import calc_bandwidth_part2d
 from ..shard.layout import make_mesh_2d
 from ..shard.redist import BlockDist, RedistEngine
@@ -256,21 +256,13 @@ class CrpSpmm:
                 else:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
-            try:
-                arrays, self._local_fn = pack_local_kernel(
-                    shards_compact, self.max_m, self.dtype, kind,
-                    mxu_precision=self.config.mxu_precision,
-                )
-            except UnsupportedSparsity:
-                # a dd-class request must keep its accuracy contract: fall
-                # back to the VPU double-float kernels, not fp32 — and not
-                # a repeat of the failed dd_mxu cover inside the dd retry
-                skip_mxu = kind == "dd_mxu"
-                kind = "dd" if self.is_dd else "segsum"
-                arrays, self._local_fn = pack_local_kernel(
-                    shards_compact, self.max_m, self.dtype, kind,
-                    dd_skip_mxu=skip_mxu,
-                )
+            # structure-aware fallback walk (gather on fp32 TPU, then
+            # segsum; dd keeps its accuracy contract) lives in dispatch
+            arrays, self._local_fn, kind = pack_with_fallback(
+                shards_compact, self.max_m, self.dtype, kind,
+                mxu_precision=self.config.mxu_precision,
+                is_dd=self.is_dd,
+            )
             self.kernel_kind = kind
             self._rb_rows = max(
                 self.xplan.rB_nrow_max,

@@ -33,7 +33,7 @@ from ..config import SpmmConfig
 from ..comm.exchange import build_b_exchange, exchange_b, exchange_b_ring
 from ..kernels.spmm_pallas import UnsupportedSparsity
 from ..comm.ring import build_ring_spmm, ring_spmm
-from ..kernels.dispatch import pack_local_kernel
+from ..kernels.dispatch import pack_with_fallback
 from ..plan.planner2d import Plan2D, NNZ_COST_FACTOR
 from ..shard.layout import make_mesh_2d
 from ..utils.timers import Timer
@@ -256,28 +256,14 @@ class Para2dSpmm:
                 else:
                     cc = (s.colidx - int(self.xplan.rowmap[i])).astype(np.int32)
                 shards_compact.append((s.rowptr, cc, s.val))
-            try:
-                with self._t_build.phase("pack"):
-                    arrays, self._local_fn = pack_local_kernel(
-                        shards_compact, self.max_m, self.dtype, kind,
-                        mxu_precision=self.config.mxu_precision,
-                    )
-            except UnsupportedSparsity as e:
-                # a dd-class request must keep its accuracy contract: fall
-                # back to the VPU double-float kernels, not fp32
-                fb = "dd" if self.is_dd else "segsum"
-                logger.warning(
-                    "kernel=%r rejected this sparsity (%s); falling back "
-                    "to %s", kind, e, fb,
+            # structure-aware fallback walk (gather on fp32 TPU, then
+            # segsum; dd keeps its accuracy contract) lives in dispatch
+            with self._t_build.phase("pack"):
+                arrays, self._local_fn, kind = pack_with_fallback(
+                    shards_compact, self.max_m, self.dtype, kind,
+                    mxu_precision=self.config.mxu_precision,
+                    is_dd=self.is_dd,
                 )
-                # don't repeat the failed dd_mxu cover inside the dd retry
-                skip_mxu = kind == "dd_mxu"
-                kind = fb
-                with self._t_build.phase("pack"):
-                    arrays, self._local_fn = pack_local_kernel(
-                        shards_compact, self.max_m, self.dtype, fb,
-                        dd_skip_mxu=skip_mxu,
-                    )
             # the pallas windowed kernel needs rB padded so window DMAs stay
             # in-bounds; extra rows only ever meet zero A-tile columns
             self._rb_rows = max(

@@ -15,12 +15,16 @@ Kinds:
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import Callable
 
 import numpy as np
 
 from .spmm_jnp import DeviceCSR, pack_device_csr, spmm_segment_sum
 from .spmm_ell import pack_ell, spmm_ell
+
+logger = logging.getLogger("crp_tpu")
 
 
 def resolve_auto_kernel(
@@ -56,6 +60,90 @@ def resolve_auto_kernel(
     if allow_halo and not overlap and nshards > 1:
         return "pallas_halo"
     return "pallas"
+
+
+def sparsity_fallback_chain(kind: str, dtype, is_dd: bool = False) -> list:
+    """Kernel kinds to try, in order, after ``kind`` raised
+    ``UnsupportedSparsity`` at pack time.
+
+    The reference's local-SpMM seam never fails by sparsity structure (MKL
+    and cuSPARSE take any CSR, ``src/rowpara_spmm.c:398-407``); the TPU
+    kernels trade that generality for MXU shape, so the engines must land
+    somewhere that always works.  Structure-aware order:
+
+      * dd-class requests -> ``"dd"`` only (the VPU double-float kernels;
+        accuracy contract over speed — never silently drop to fp32)
+      * fp32 on a TPU backend -> ``"gather"`` first (one-hot-MXU
+        block-reduce: serves the scrambled/pure power-law class the ragged
+        cover refuses at ~MXU rates instead of segsum's ~21 ns/nnz XLA
+        scatter), then ``"segsum"``
+      * everything else -> ``"segsum"`` (exact, runs everywhere)
+
+    ``CRP_TPU_FALLBACK`` (comma-separated kinds) overrides the chain — used
+    by CPU-mesh tests to exercise the TPU ordering, and as an operator
+    escape hatch.
+    """
+    import jax
+
+    override = os.environ.get("CRP_TPU_FALLBACK")
+    if override:
+        return [k.strip() for k in override.split(",") if k.strip()]
+    if is_dd:
+        return ["dd"]
+    chain = []
+    if (
+        kind != "gather"
+        and np.dtype(dtype) == np.float32
+        and jax.default_backend() == "tpu"
+    ):
+        chain.append("gather")
+    chain.append("segsum")
+    return chain
+
+
+def pack_with_fallback(
+    shards: list,
+    max_m: int,
+    dtype,
+    kind: str,
+    *,
+    mxu_precision: str = "highest",
+    is_dd: bool = False,
+) -> tuple:
+    """``pack_local_kernel`` plus the engines' shared sparsity-fallback walk.
+
+    Returns ``(arrays, local_fn, resolved_kind)``.  On
+    ``UnsupportedSparsity`` each kind from :func:`sparsity_fallback_chain`
+    is tried in order; a ``dd_mxu`` failure sets ``dd_skip_mxu`` so the dd
+    retry does not repeat the identical multi-second MXU cover just to fail
+    again.  Raises the last ``UnsupportedSparsity`` only if every chain
+    entry refuses (not reachable with the default chains — segsum and the
+    VPU dd pack accept any CSR).
+    """
+    from .spmm_pallas import UnsupportedSparsity
+
+    try:
+        arrays, local_fn = pack_local_kernel(
+            shards, max_m, dtype, kind, mxu_precision=mxu_precision
+        )
+        return arrays, local_fn, kind
+    except UnsupportedSparsity as e:
+        err = e
+    skip_mxu = kind == "dd_mxu"
+    for fb in sparsity_fallback_chain(kind, dtype, is_dd=is_dd):
+        logger.warning(
+            "kernel=%r rejected this sparsity (%s); falling back to %s",
+            kind, err, fb,
+        )
+        try:
+            arrays, local_fn = pack_local_kernel(
+                shards, max_m, dtype, fb,
+                mxu_precision=mxu_precision, dd_skip_mxu=skip_mxu,
+            )
+            return arrays, local_fn, fb
+        except UnsupportedSparsity as e2:
+            err = e2
+    raise err
 
 
 def pack_local_kernel(

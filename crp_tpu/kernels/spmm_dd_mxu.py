@@ -89,15 +89,17 @@ def pack_ragged_dd(
     ncol: int,
     TM: int = 128,
     Wc: int = 512,
-    max_panel_bytes: int = 8 << 30,
+    max_panel_bytes: int | None = None,
 ):
     """Cover (min_chunk_nnz=1: total, no spill) + fp64 densify + slice.
 
     Returns (rw, mu, slices) where ``rw`` is the RaggedWindow carrying the
     cover arrays (its fp64 panels are dropped after slicing).
     """
-    from .spmm_ragged import pack_ragged_window
+    from .spmm_ragged import default_panel_cap_bytes, pack_ragged_window
 
+    if max_panel_bytes is None:
+        max_panel_bytes = default_panel_cap_bytes()
     rw = pack_ragged_window(
         rowptr, colidx, val, ncol, TM=TM, Wc=Wc, min_chunk_nnz=1,
         max_panel_bytes=max(max_panel_bytes // 2, 1), dtype=np.float64,

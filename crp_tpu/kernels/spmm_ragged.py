@@ -79,6 +79,18 @@ class RaggedWindow:
         return int(self.starts.max()) + self.Wc if self.S else self.Wc
 
 
+def default_panel_cap_bytes() -> int:
+    """Cap on a shard's kept dense panels, default 8 GiB (half of a v5e
+    chip's 16 GB HBM — leaves room for B/C, spill arrays, and XLA
+    temporaries).  ``CRP_TPU_RAGGED_PANEL_GB`` overrides (float GB): lower
+    it to co-locate more shards or raise it for single-chip reach runs
+    (the cage15-class bigmat records, VERDICT r3 weak #3)."""
+    import os
+
+    gb = float(os.environ.get("CRP_TPU_RAGGED_PANEL_GB", 8.0))
+    return max(int(gb * (1 << 30)), 1 << 20)
+
+
 def ragged_params() -> tuple[int, int]:
     """(TM, Wc) for the ragged kernel; env ``CRP_TPU_RAGGED_TM`` /
     ``CRP_TPU_RAGGED_WC`` override the defaults (128, 512)."""
@@ -293,7 +305,7 @@ def pack_ragged_window(
     TM: int = 128,
     Wc: int = 512,
     min_chunk_nnz: int | None = None,
-    max_panel_bytes: int = 8 << 30,
+    max_panel_bytes: int | None = None,
     dtype=np.float32,
 ) -> RaggedWindow:
     """Cover + densify a CSR shard into ragged chunk panels (+ spill COO).
@@ -310,6 +322,8 @@ def pack_ragged_window(
         raise UnsupportedSparsity("empty shard")
     if min_chunk_nnz is None:
         min_chunk_nnz = default_min_chunk_nnz(TM, Wc)
+    if max_panel_bytes is None:
+        max_panel_bytes = default_panel_cap_bytes()
     G = max(-(-nrow // TM), 1)
 
     from .. import native
@@ -388,7 +402,7 @@ def pack_ragged_window_bf16(
     Wc: int = 512,
     split: bool = False,
     min_chunk_nnz: int | None = None,
-    max_panel_bytes: int = 8 << 30,
+    max_panel_bytes: int | None = None,
 ):
     """Cover + densify straight to bf16 (split=False, the 1-pass point)
     or a bf16 hi/lo pair (split=True, x3) — the fp32 panel intermediate
@@ -410,6 +424,8 @@ def pack_ragged_window_bf16(
         raise UnsupportedSparsity("empty shard")
     if min_chunk_nnz is None:
         min_chunk_nnz = default_min_chunk_nnz(TM, Wc)
+    if max_panel_bytes is None:
+        max_panel_bytes = default_panel_cap_bytes()
     G = max(-(-nrow // TM), 1)
     if native._load() is None:  # direct-bf16 fill needs the native lib
         return None

@@ -9,7 +9,7 @@
 cd /root/repo
 # Stop launching new steps near round end so the chip is FREE when the
 # driver runs its own bench.py. Override with CRP_QUEUE_DEADLINE_EPOCH.
-DEADLINE=${CRP_QUEUE_DEADLINE_EPOCH:-1787031000}  # 2026-08-18 05:30 UTC
+DEADLINE=${CRP_QUEUE_DEADLINE_EPOCH:-1787059800}  # 2026-08-18 13:30 UTC (round-4 end window)
 check_deadline() {
   # only start a step that can plausibly FINISH before the deadline
   # (typical step ~5-20 min; $1 overrides the 1200 s budget)

@@ -33,6 +33,50 @@ def test_resolver_tpu_backend(monkeypatch):
     assert resolve_auto_kernel(np.float32, 8, allow_halo=False) == "pallas"
 
 
+def test_sparsity_fallback_chain(monkeypatch):
+    """Structure-aware fallback order (dispatch.sparsity_fallback_chain):
+    gather before segsum on fp32 TPU, dd keeps its accuracy contract,
+    CRP_TPU_FALLBACK overrides."""
+    from crp_tpu.kernels.dispatch import sparsity_fallback_chain
+
+    # CPU backend: land on segsum directly (gather's one-hot matmul only
+    # pays off on the MXU)
+    assert sparsity_fallback_chain("pallas", np.float32) == ["segsum"]
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert sparsity_fallback_chain("pallas", np.float32) == ["gather", "segsum"]
+    assert sparsity_fallback_chain("ragged", np.float32) == ["gather", "segsum"]
+    # gather itself failed: nothing left but segsum
+    assert sparsity_fallback_chain("gather", np.float32) == ["segsum"]
+    # gather is fp32-only
+    assert sparsity_fallback_chain("pallas", np.float64) == ["segsum"]
+    # fp64-class requests never drop to fp32 kernels
+    assert sparsity_fallback_chain("dd_mxu", np.float64, is_dd=True) == ["dd"]
+
+    monkeypatch.setenv("CRP_TPU_FALLBACK", "ell, segsum")
+    assert sparsity_fallback_chain("pallas", np.float32) == ["ell", "segsum"]
+
+
+def test_fallback_lands_on_gather(devices8, monkeypatch):
+    """The TPU fallback chain, forced onto the CPU mesh via
+    CRP_TPU_FALLBACK: a pure-scatter matrix that both the uniform and the
+    ragged covers refuse lands on the one-hot-MXU gather kernel (exact in
+    fp32), not segsum."""
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    monkeypatch.setenv("CRP_TPU_FALLBACK", "gather,segsum")
+    rng = np.random.default_rng(61)
+    nr, k = 256, 20000
+    rows = np.arange(nr, dtype=np.int64).repeat(4)
+    cols = rng.integers(0, k, size=4 * nr)
+    rnd = CSRMatrix.from_coo(nr, k, rows, cols, np.ones(len(rows)))
+    eng = _engine(rnd, 2, "pallas", devices8, rb_reidx=0, dtype="float32")
+    assert eng.kernel_kind == "gather"
+    assert getattr(eng._local_fn, "variant", None) == "gather"
+    b = np.asarray(fill_b(0, rnd.ncol, 0, 8), dtype=np.float32)
+    assert rel_fro_err(rnd.spmm_ref(b), eng.exec(b)) <= 1e-5
+
+
 def _engine(a, p, kernel, devices8, n=8, **cfg):
     displs = csr_row_partition(a.rowptr, p)
     eng = RowParaSpmm(

@@ -254,3 +254,26 @@ def test_crp_gather_and_ragged_kernels(devices8, monkeypatch):
                   config=SpmmConfig(kernel="ragged"), dtype=np.float32)
     assert eng._local_fn.roofline["spill_nnz"] > 0
     assert rel_fro_err(ref, eng.exec(b)) <= 1e-5
+
+
+def test_crp_fallback_lands_on_gather(devices8, monkeypatch):
+    """The TPU sparsity-fallback chain (forced via CRP_TPU_FALLBACK on the
+    CPU mesh) through the any-layout engine: scatter sparsity refused by
+    the uniform and ragged covers lands on the gather kernel under the
+    full redistribution chain."""
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    monkeypatch.setenv("CRP_TPU_FALLBACK", "gather,segsum")
+    rng = np.random.default_rng(63)
+    nr, k = 512, 20000
+    rows = np.arange(nr, dtype=np.int64).repeat(4)
+    cols = rng.integers(0, k, size=4 * nr)
+    a = CSRMatrix.from_coo(nr, k, rows, cols, np.ones(len(rows)))
+    n = 16
+    user_B = user_grid(a.ncol, n, 4, 1)
+    user_C = user_grid(a.nrow, n, 1, 4)
+    eng = CrpSpmm(a, n, user_B, user_C, nproc=4,
+                  config=SpmmConfig(kernel="pallas"), dtype=np.float32)
+    assert eng.kernel_kind == "gather"
+    b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-5

@@ -169,3 +169,26 @@ def test_para2d_gather_and_pallas_spill(devices8, monkeypatch):
                      config=SpmmConfig(kernel="ragged"))
     assert eng._local_fn.roofline["spill_nnz"] > 0
     assert rel_fro_err(ref, eng.exec(b)) <= 1e-5
+
+
+def test_para2d_fallback_lands_on_gather(devices8, monkeypatch):
+    """The TPU sparsity-fallback chain (forced via CRP_TPU_FALLBACK on the
+    CPU mesh) through the 2D engine: a pure-scatter matrix refused by the
+    uniform and ragged covers lands on the gather kernel."""
+    from crp_tpu.config import SpmmConfig
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    monkeypatch.setenv("CRP_TPU_FALLBACK", "gather,segsum")
+    rng = np.random.default_rng(62)
+    nr, k = 512, 20000
+    rows = np.arange(nr, dtype=np.int64).repeat(4)
+    cols = rng.integers(0, k, size=4 * nr)
+    a = CSRMatrix.from_coo(nr, k, rows, cols, np.ones(len(rows)))
+    n = 16
+    plan = force_plan(a, n, 2, 2)
+    mesh = make_mesh_2d(2, 2, devices=devices8)
+    eng = Para2dSpmm(a, plan, mesh=mesh, dtype=np.float32,
+                     config=SpmmConfig(kernel="pallas", rb_reidx=0))
+    assert eng.kernel_kind == "gather"
+    b = np.asarray(fill_b(0, a.ncol, 0, n, dtype=np.float32))
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-5
