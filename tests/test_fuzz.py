@@ -150,3 +150,39 @@ def test_fuzz_crp_configs(trial, devices8):
     b = np.asarray(fill_b(0, a.ncol, 0, n))
     err = rel_fro_err(a.spmm_ref(b), eng.exec(b))
     assert err <= 1e-12, (err, cfg, a.nrow, a.nnz, n, p, eng.kernel_kind)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_any_csr_lands_somewhere(trial, devices8, monkeypatch):
+    """The sparsity-fallback guarantee (dispatch.pack_with_fallback): ANY
+    random scatter CSR through kernel="pallas" with the forced TPU chain
+    must pack — landing on ragged, gather, or segsum as the structure
+    dictates — and agree with the fp64 reference.  The reference's
+    MKL/cuSPARSE seam gives this "any CSR works" guarantee for free
+    (src/rowpara_spmm.c:398-407); this pins the TPU equivalent."""
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    monkeypatch.setenv("CRP_TPU_FALLBACK", "gather,segsum")
+    rng = np.random.default_rng(5000 + trial)
+    nr = int(rng.integers(100, 800))
+    k = int(rng.integers(1000, 30000))
+    deg = int(rng.integers(1, 8))
+    rows = np.repeat(np.arange(nr, dtype=np.int64), deg)
+    cols = rng.integers(0, k, size=deg * nr)
+    a = CSRMatrix.from_coo(
+        nr, k, rows, cols, rng.standard_normal(deg * nr)
+    )
+    n = int(rng.integers(1, 24))
+    p = int(rng.integers(2, 5))
+    displs = csr_row_partition(a.rowptr, p)
+    eng = RowParaSpmm(
+        a, displs, uniform_displs(a.ncol, p), n,
+        mesh=make_mesh_1d(p, devices=devices8),
+        config=SpmmConfig(
+            kernel="pallas", rb_reidx=int(rng.random() < 0.5)
+        ),
+        dtype=np.float32,
+    )
+    b = np.asarray(fill_b(0, a.ncol, 0, n), dtype=np.float32)
+    err = rel_fro_err(a.spmm_ref(b), eng.exec(b))
+    assert err <= 1e-4, (eng.kernel_kind, err, nr, k, deg, n, p)
