@@ -66,6 +66,12 @@ def _run_measurement():
     poison = os.environ.get("CRP_BENCH_TEST_FAIL")
     if poison:  # deterministic fault injection for the harness tests
         raise RuntimeError(poison)
+    if os.environ.get("CRP_BENCH_TEST_HANG"):  # wedged-claim simulation:
+        # a child stuck in the relay claim poll never returns — the
+        # supervisor must SIGTERM it at the attempt timeout and record
+        # the failure (this is exactly what a wedged chip grant does)
+        while True:
+            time.sleep(3600)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 

@@ -23,6 +23,9 @@ Common flags: --engine=para2d|rowpara  --kernel=...  --dtype=...
   before/after bandwidth — the cage15-rcm preprocessing analog)
   --ntest=N  --out=FILE.jsonl  --cpu-mesh=N (re-exec on an N-device
   virtual CPU mesh — the reference's "mpirun -np P on one box")
+  --trace=DIR (wrap the sweep in a jax.profiler trace: per-op device
+  time, DMA waits and fusion boundaries in TensorBoard/xprof format —
+  the XLA-level counterpart of the reference's phase stat tables)
   --distributed (call jax.distributed.initialize first: run the SAME
   command on every pod-slice host, e.g. via scripts/pod_suite.sh — the
   ``srun`` analog of the reference's SLURM scripts)
@@ -329,6 +332,28 @@ def main(argv=None) -> int:
 
     out = open(opt["out"], "a") if "out" in opt else None
     plan_procs = int(opt.get("plan-procs", 0))
+    # --trace=DIR: wrap the sweep in a jax.profiler trace (TensorBoard /
+    # xprof format) — the XLA-level counterpart of the reference's
+    # per-phase stat tables (rp_spmm_print_stat, src/rowpara_spmm.c:424-476):
+    # shows per-op device time, DMA waits, and fusion boundaries on chip.
+    import contextlib
+
+    if "trace" in opt:
+        import jax
+
+        trace_cm = jax.profiler.trace(opt["trace"])
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        _sweep(runs, opt, pos, sweep, a, dtype, reorder_info,
+               ntest, check, inner, out, plan_procs)
+    if out:
+        out.close()
+    return 0
+
+
+def _sweep(runs, opt, pos, sweep, a, dtype, reorder_info,
+           ntest, check, inner, out, plan_procs):
     for args in runs:
         try:
             rec = run_one(*args, ntest=ntest, check=check, inner=inner)
@@ -374,9 +399,6 @@ def main(argv=None) -> int:
         print(line, flush=True)
         if out:
             out.write(line + "\n")
-    if out:
-        out.close()
-    return 0
 
 
 if __name__ == "__main__":

@@ -97,6 +97,12 @@ def main() -> None:
             }
             print(json.dumps(rec), flush=True)
 
+        if "pallas" in forms:
+            # the dispatch chain as the engine runs it (uniform windowed
+            # pack, routing to ragged when infeasible/wasteful) — the
+            # headline config's actual init path
+            one("pallas", dispatch._pack_pallas,
+                shard, a.nrow, np.float32, "x3")
         if "ragged_x3" in forms:
             one("ragged_x3", dispatch._pack_ragged,
                 shard, a.nrow, np.float32, "x3")

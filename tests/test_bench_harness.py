@@ -90,3 +90,22 @@ def test_bench_total_budget_bounds_retries():
     rec = _last_json(res.stdout)
     assert "error" in rec
     assert len(rec["attempts"]) <= 4
+
+
+def test_bench_hung_claim_is_terminated_and_recorded():
+    # the wedged-chip failure mode: the child hangs in the relay claim
+    # poll and never returns.  The supervisor must SIGTERM it at the
+    # attempt timeout, classify the timeout transient, retry within the
+    # total budget, and still emit one structured JSON record.
+    res = _run({
+        "CRP_BENCH_TEST_HANG": "1",
+        "CRP_BENCH_RETRIES": "3",
+        "CRP_BENCH_RETRY_BACKOFF_S": "1",
+        "CRP_BENCH_ATTEMPT_TIMEOUT_S": "4",
+        "CRP_BENCH_TOTAL_TIMEOUT_S": "12",
+    }, timeout=180)
+    assert res.returncode == 1
+    rec = _last_json(res.stdout)
+    assert rec["value"] is None
+    assert "timed out" in rec["error"]
+    assert 2 <= len(rec["attempts"]) <= 4
