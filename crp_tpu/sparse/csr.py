@@ -119,6 +119,30 @@ class CSRMatrix:
             w,
         )
 
+    def transpose(self) -> "CSRMatrix":
+        """A^T as CSR — counting sort by column, O(nnz).
+
+        The stable sort keeps column indices within each transposed row
+        ascending, preserving the sortedness invariant the v1 planner
+        relies on (``deprecated/src/crpspmm.c:108``).  Used by the
+        differentiable SpMM wrapper (dB = A^T @ dC); the reference has no
+        transpose (MKL/cuSPARSE take an op(A) flag instead —
+        ``src/rowpara_spmm.c:398-407`` always passes non-transposed).
+        """
+        rows = np.repeat(
+            np.arange(self.nrow, dtype=np.int64), np.diff(self.rowptr)
+        )
+        order = np.argsort(self.colidx, kind="stable")
+        t_rowptr = np.zeros(self.ncol + 1, dtype=np.int64)
+        np.cumsum(
+            np.bincount(self.colidx, minlength=self.ncol),
+            out=t_rowptr[1:],
+        )
+        return CSRMatrix(
+            self.ncol, self.nrow, t_rowptr,
+            rows[order].astype(self.colidx.dtype), self.val[order],
+        )
+
     def to_dense(self) -> np.ndarray:
         out = np.zeros((self.nrow, self.ncol), dtype=self.val.dtype)
         row = np.repeat(np.arange(self.nrow), np.diff(self.rowptr))
