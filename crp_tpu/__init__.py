@@ -29,10 +29,12 @@ from .config import SpmmConfig, get_env_int
 
 def __getattr__(name):
     # engines/redist import jax; keep top-level import light for host-only use
-    if name in ("RowParaSpmm", "Para2dSpmm", "CrpSpmm", "RedistEngine", "BlockDist"):
+    if name in ("RowParaSpmm", "Para2dSpmm", "CrpSpmm", "RedistEngine",
+                "BlockDist", "DifferentiableSpmm"):
         from .engine.rowpara import RowParaSpmm
         from .engine.para2d import Para2dSpmm
         from .engine.crp import CrpSpmm
+        from .engine.autodiff import DifferentiableSpmm
         from .shard.redist import RedistEngine, BlockDist
 
         return {
@@ -41,6 +43,7 @@ def __getattr__(name):
             "CrpSpmm": CrpSpmm,
             "RedistEngine": RedistEngine,
             "BlockDist": BlockDist,
+            "DifferentiableSpmm": DifferentiableSpmm,
         }[name]
     raise AttributeError(f"module 'crp_tpu' has no attribute {name!r}")
 
@@ -61,4 +64,5 @@ __all__ = [
     "CrpSpmm",
     "RedistEngine",
     "BlockDist",
+    "DifferentiableSpmm",
 ]

@@ -119,6 +119,41 @@ class CSRMatrix:
             w,
         )
 
+    def to_bcoo(self, dtype=None):
+        """``jax.experimental.sparse.BCOO`` view — JAX-ecosystem interop.
+
+        The reference interops through raw CSR triples into MKL/cuSPARSE
+        (``src/rowpara_spmm.c:398-407``); the JAX-native exchange format
+        is BCOO.  Indices come out sorted (the CSR invariant), so
+        downstream ``sparse.bcoo_dot_general`` can skip the sort.
+        """
+        import jax.numpy as jnp
+        from jax.experimental import sparse as jsparse
+
+        rows = np.repeat(
+            np.arange(self.nrow, dtype=np.int32), np.diff(self.rowptr)
+        )
+        idx = np.stack([rows, self.colidx.astype(np.int32)], axis=1)
+        v = self.val if dtype is None else np.asarray(self.val, dtype)
+        return jsparse.BCOO(
+            (jnp.asarray(v), jnp.asarray(idx)),
+            shape=(self.nrow, self.ncol),
+            # sortedness is the CSR invariant; uniqueness is NOT
+            # guaranteed (from_coo keeps duplicates like the reference)
+            indices_sorted=True, unique_indices=False,
+        )
+
+    @classmethod
+    def from_bcoo(cls, mat, dtype=np.float64) -> "CSRMatrix":
+        """Build from a ``jax.experimental.sparse.BCOO`` matrix (host copy;
+        indices are sorted by ``from_coo``, duplicates kept)."""
+        idx = np.asarray(mat.indices)
+        return cls.from_coo(
+            int(mat.shape[0]), int(mat.shape[1]),
+            idx[:, 0].astype(np.int64), idx[:, 1].astype(np.int64),
+            np.asarray(mat.data, dtype=dtype),
+        )
+
     def transpose(self) -> "CSRMatrix":
         """A^T as CSR — counting sort by column, O(nnz).
 

@@ -175,3 +175,24 @@ def test_config_dtype_reaches_engines(devices8):
     eng = RowParaSpmm(a, d, d, 4, mesh=make_mesh_1d(2, devices=devices8),
                       config=SpmmConfig(dtype="float32"), dtype=np.float64)
     assert eng.dtype == np.float64  # explicit argument wins
+
+
+def test_bcoo_interop_roundtrip():
+    """CSRMatrix <-> jax.experimental.sparse.BCOO: values, shape, and a
+    matmul against the fp64 reference survive the roundtrip."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crp_tpu.sparse.synth import powerlaw_random_csr, fill_b
+    from crp_tpu.sparse.csr import CSRMatrix
+
+    a = powerlaw_random_csr(300, avg_degree=7, seed=82)
+    m = a.to_bcoo()
+    assert m.shape == (a.nrow, a.ncol) and m.nse == a.nnz
+    b = np.asarray(fill_b(0, a.ncol, 0, 8))
+    c = np.asarray(m @ jnp.asarray(b))
+    assert np.allclose(c, a.spmm_ref(b), rtol=1e-10, atol=1e-10)
+    back = CSRMatrix.from_bcoo(m)
+    assert np.array_equal(back.rowptr, a.rowptr)
+    assert np.array_equal(back.colidx, a.colidx)
+    assert np.allclose(back.val, a.val)
