@@ -104,3 +104,22 @@ def test_transpose_roundtrip():
         assert np.all(np.diff(at.colidx[s:e]) > 0) or e - s <= 1
     assert np.allclose(at.to_dense(), a.to_dense().T)
     assert np.allclose(at.transpose().to_dense(), a.to_dense())
+
+
+def test_gcn_example_trains(devices8):
+    """The end-to-end training example (examples/gcn_train.py) learns the
+    community structure through the planned engines: accuracy > 0.7 on the
+    synthetic task (rc 0), under jit + grad + optax."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "gcn_train.py"),
+         "--nodes=600", "--steps=25", "--p=2"],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ),  # inherits the conftest CPU-mesh env
+    )
+    assert res.returncode == 0, res.stdout[-1500:] + res.stderr[-1500:]
+    assert "final accuracy" in res.stdout
