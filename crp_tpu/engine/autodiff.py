@@ -66,6 +66,22 @@ class DifferentiableSpmm:
         dtype=np.float32,
     ) -> None:
         config = config or SpmmConfig(kernel="segsum", dtype="float32")
+        if config.kernel == "auto":
+            # resolve here with halo/dd OFF: the engine's own auto would
+            # pick pallas_halo on a multi-shard TPU, whose exec mutates
+            # the push buffer across calls (a tracer leak under grad)
+            import dataclasses
+
+            from ..kernels.dispatch import resolve_auto_kernel
+
+            config = dataclasses.replace(
+                config,
+                kernel=resolve_auto_kernel(
+                    np.dtype(dtype), len(np.asarray(A_row_displs)) - 1,
+                    overlap=bool(config.overlap),
+                    allow_halo=False, allow_dd=False,
+                ),
+            )
         if config.kernel in ("dd", "dd_mxu", "pallas_halo"):
             raise ValueError(
                 "DifferentiableSpmm supports the plain-B kernel paths "

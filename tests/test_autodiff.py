@@ -123,3 +123,22 @@ def test_gcn_example_trains(devices8):
     )
     assert res.returncode == 0, res.stdout[-1500:] + res.stderr[-1500:]
     assert "final accuracy" in res.stdout
+
+
+def test_auto_kernel_resolves_without_halo(devices8, monkeypatch):
+    """kernel="auto" must never land the differentiable op on the stateful
+    halo path (its exec mutates the push buffer — a tracer leak under
+    grad): auto resolves with halo/dd disallowed before engine init."""
+    a = banded_random_csr(200, nnz_per_row=5, bandwidth=20, seed=26)
+    displs = csr_row_partition(a.rowptr, 4)
+    ds = _mk(a, 4, "auto", devices8)
+    assert ds.fwd.kernel_kind == "segsum"  # CPU backend
+    # the TPU resolution (mocked) must pick pallas, not pallas_halo
+    import jax as _jax
+
+    from crp_tpu.kernels.dispatch import resolve_auto_kernel
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert resolve_auto_kernel(
+        np.float32, 4, allow_halo=False, allow_dd=False
+    ) == "pallas"
