@@ -60,10 +60,15 @@ def test_bench_transient_failure_yields_structured_record():
         "CRP_BENCH_RETRIES": "2",
         "CRP_BENCH_RETRY_BACKOFF_S": "1",
     })
-    assert res.returncode == 1
+    # rc 0: a structured record was printed — the driver's "parsed" field
+    # is the artifact that matters, not the exit code (VERDICT r4 weak #1)
+    assert res.returncode == 0
     rec = _last_json(res.stdout)
     assert rec["value"] is None
     assert "error" in rec and len(rec["attempts"]) == 2
+    # the failure record carries the last measured headline
+    assert rec["last_good"]["value"] > 0
+    assert rec["last_good"]["unit"] == "s"
 
 
 def test_bench_nontransient_failure_does_not_retry():
@@ -72,7 +77,7 @@ def test_bench_nontransient_failure_does_not_retry():
         "CRP_BENCH_RETRIES": "3",
         "CRP_BENCH_RETRY_BACKOFF_S": "1",
     })
-    assert res.returncode == 1
+    assert res.returncode == 0
     rec = _last_json(res.stdout)
     assert "error" in rec and len(rec["attempts"]) == 1
 
@@ -86,7 +91,7 @@ def test_bench_total_budget_bounds_retries():
         "CRP_BENCH_RETRY_BACKOFF_S": "4",
         "CRP_BENCH_TOTAL_TIMEOUT_S": "6",
     }, timeout=120)
-    assert res.returncode == 1
+    assert res.returncode == 0
     rec = _last_json(res.stdout)
     assert "error" in rec
     assert len(rec["attempts"]) <= 4
@@ -104,8 +109,56 @@ def test_bench_hung_claim_is_terminated_and_recorded():
         "CRP_BENCH_ATTEMPT_TIMEOUT_S": "4",
         "CRP_BENCH_TOTAL_TIMEOUT_S": "12",
     }, timeout=180)
-    assert res.returncode == 1
+    assert res.returncode == 0
     rec = _last_json(res.stdout)
     assert rec["value"] is None
     assert "timed out" in rec["error"]
     assert 2 <= len(rec["attempts"]) <= 4
+
+
+def test_bench_dead_backend_under_outer_timeout_still_parses():
+    # VERDICT r4 next-2 acceptance: a dead backend under a 600 s outer
+    # `timeout` must yield rc=0 and a parseable line.  The hang child
+    # stands in for the dead relay's claim poll; DEFAULT-shaped budgets
+    # are scaled down only via the deadline env the queue scripts pass.
+    import time as _time
+    res = _run({
+        "CRP_BENCH_TEST_HANG": "1",
+        "CRP_BENCH_DEADLINE_EPOCH": str(_time.time() + 60),
+        "CRP_BENCH_ATTEMPT_TIMEOUT_S": "5",
+        "CRP_BENCH_RETRY_BACKOFF_S": "2",
+    }, timeout=120)
+    assert res.returncode == 0
+    rec = _last_json(res.stdout)
+    assert rec["value"] is None and "error" in rec
+    assert rec["last_good"]["value"] > 0
+
+
+def test_bench_sigterm_mid_run_prints_record():
+    # an external `timeout` fires SIGTERM first: the supervisor must use
+    # the grace window to print the structured record (BENCH_r04 died in
+    # backoff with NOTHING on stdout — the failure mode this pins)
+    import signal as _signal
+    import time as _time
+
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        CRP_BENCH_TEST_HANG="1",
+        CRP_BENCH_ATTEMPT_TIMEOUT_S="600",
+        CRP_BENCH_TOTAL_TIMEOUT_S="600",
+    )
+    env.pop("CRP_BENCH_CHILD", None)
+    proc = subprocess.Popen(
+        [sys.executable, BENCH], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=env,
+    )
+    _time.sleep(5)  # let the supervisor spawn its hanging child
+    proc.send_signal(_signal.SIGTERM)
+    out, _ = proc.communicate(timeout=60)
+    assert proc.returncode == 0
+    rec = _last_json(out)
+    assert rec["value"] is None
+    assert "signal" in rec["error"]
+    assert rec["last_good"]["value"] > 0
