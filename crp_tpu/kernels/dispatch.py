@@ -81,15 +81,17 @@ def sparsity_fallback_chain(kind: str, dtype, is_dd: bool = False) -> list:
 
     ``CRP_TPU_FALLBACK`` (comma-separated kinds) overrides the chain — used
     by CPU-mesh tests to exercise the TPU ordering, and as an operator
-    escape hatch.
+    escape hatch.  dd-class requests IGNORE the override: a process-wide
+    env set for an fp32 sweep must not reroute fp64-class pack failures
+    onto fp32 kernels and silently break the accuracy contract (ADVICE r4).
     """
     import jax
 
+    if is_dd:
+        return ["dd"]
     override = os.environ.get("CRP_TPU_FALLBACK")
     if override:
         return [k.strip() for k in override.split(",") if k.strip()]
-    if is_dd:
-        return ["dd"]
     chain = []
     if (
         kind != "gather"
@@ -340,7 +342,13 @@ def _pack_pallas(shards, max_m, dtype, mxu_precision="highest"):
         big = max(
             (s for s in shards if len(s[0]) > 1),
             key=lambda s: int(s[0][-1]) - int(s[0][0]),
+            default=None,
         )
+        if big is None:
+            # every shard empty (all rowptr len <= 1): nothing to price a
+            # ragged cover on — the uniform pack handles the degenerate
+            # shards itself (mirrors _pack_ragged's default=None guard)
+            return _pack_pallas_uniform(shards, max_m, dtype, mxu_precision)
         # one resolve on the largest shard — the same choice
         # _pack_ragged itself will make
         TMr, Wcr = resolve_ragged_geometry(

@@ -57,10 +57,13 @@ def _rates():
     )
 
 
-def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize):
+def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize, geometry=None):
     """Roofline inputs for one shard's local SpMM: (hbm_bytes, mxu_flops,
     spill_nnz).  Mirrors the pack selection: uniform windowed geometry
-    when feasible, else the ragged cover estimate."""
+    when feasible, else the ragged cover estimate.  ``geometry`` is the
+    partition-shared ragged (TM, Wc) — ``_pack_ragged`` resolves ONCE on
+    the largest shard and applies it everywhere, so at p > 1 the model
+    must price the same geometry the pack actually uses (ADVICE r4)."""
     from ..kernels.dispatch import _uniform_cost_estimate
     from ..kernels.spmm_ragged import estimate_ragged, resolve_ragged_geometry
 
@@ -72,7 +75,10 @@ def _shard_kernel_terms(shard, n_pad, mxu_prec, itemsize):
     cc = shard.colidx
     trip = (shard.rowptr, cc, shard.val)
     W, G, ok = _uniform_cost_estimate([trip], shard.nrow)
-    TMr, Wcr = resolve_ragged_geometry(shard.rowptr, cc, mxu_prec)
+    if geometry is not None:
+        TMr, Wcr = geometry
+    else:
+        TMr, Wcr = resolve_ragged_geometry(shard.rowptr, cc, mxu_prec)
     S, spill, Gr = estimate_ragged(shard.rowptr, cc, TMr, Wcr)
     if ok:
         # mirror dispatch._pack_pallas's selection gate exactly: the
@@ -130,13 +136,27 @@ def project_exec_1d(
     shards = [
         a.row_slice(int(displs[i]), int(displs[i + 1])) for i in range(p)
     ]
+    # one ragged geometry for the whole partition, resolved on the
+    # largest-nnz shard — exactly what _pack_ragged does (all shards share
+    # one kernel program), so the projected roofline prices the geometry
+    # the pack will actually use at p > 1 (ADVICE r4)
+    geometry = None
+    live = [sh for sh in shards if sh.nnz > 0]
+    if live:
+        from ..kernels.spmm_ragged import resolve_ragged_geometry
+
+        big = max(live, key=lambda sh: sh.nnz)
+        big_loc, _, _ = big.localize() if reidx else (big, 0, 0)
+        geometry = resolve_ragged_geometry(
+            big_loc.rowptr, big_loc.colidx, mxu_prec
+        )
     kernel_s = 0.0
     for sh in shards:
         if sh.nnz == 0:
             continue
         loc, _, _ = sh.localize() if reidx else (sh, 0, 0)
         hbm, flops, spill = _shard_kernel_terms(
-            loc, n_pad, mxu_prec, itemsize
+            loc, n_pad, mxu_prec, itemsize, geometry=geometry
         )
         t = max(hbm / rates["hbm"], flops / rates["mxu"])
         t += spill * rates["spill_ns"] * 1e-9

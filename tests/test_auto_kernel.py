@@ -55,6 +55,10 @@ def test_sparsity_fallback_chain(monkeypatch):
 
     monkeypatch.setenv("CRP_TPU_FALLBACK", "ell, segsum")
     assert sparsity_fallback_chain("pallas", np.float32) == ["ell", "segsum"]
+    # the override must NOT reroute dd-class pack failures onto fp32
+    # kernels (a process-wide env for an fp32 sweep would silently break
+    # the fp64-class accuracy contract — ADVICE r4)
+    assert sparsity_fallback_chain("dd_mxu", np.float64, is_dd=True) == ["dd"]
 
 
 def test_fallback_lands_on_gather(devices8, monkeypatch):
