@@ -73,3 +73,24 @@ for IMPL in clip twopass pallas; do
     --dtype=float32 --ntest=3 --inner=10 \
     --out=bench_results/r4_tpu_spill_impl.jsonl
 done
+
+# 3. (round 5) gather on the SORTED cplaw — the same matrix as the ragged
+#    headline rows — so the inflation-vs-exec tradeoff (VERDICT r4 next-6)
+#    is decided on one matrix: ragged is 35x CSR bytes at x3, gather is
+#    1.46x; if gather's exec matches, inflation is moot.
+check_deadline
+CRP_TPU_MXU_PREC=x3 timeout 3000 \
+  python -m crp_tpu.cli.suite_cli kernels \
+  synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=gather \
+  --dtype=float32 --ntest=3 --inner=10 \
+  --out=bench_results/r4_tpu_spill_impl.jsonl
+
+# 4. (round 5) segsum on the sorted cplaw — completes the 3-way
+#    (ragged/gather/segsum) exec comparison on the headline power-law
+#    matrix that sets the auto-dispatch default.
+check_deadline
+CRP_TPU_MXU_PREC=x3 timeout 3000 \
+  python -m crp_tpu.cli.suite_cli kernels \
+  synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=segsum \
+  --dtype=float32 --ntest=3 --inner=5 \
+  --out=bench_results/r4_tpu_spill_impl.jsonl
