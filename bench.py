@@ -39,8 +39,10 @@ the driver's own timeout).  Three defenses, mirroring the reference's
 timed driver that always prints its table no matter what
 (``examples/test_para2d_spmm.c:150-165``):
 
-- the default total budget is 1500 s — well under any plausible outer
-  window — and the retry backoff never sleeps past it;
+- the default total budget is 2820 s (attempts 1320 s: a healthy run is
+  ~10-15 min of relay upload, and r4 proved an attempt can hang its full
+  bound in a wedged claim) — under the >=3600 s window the r4 kill
+  implies — and the retry backoff never sleeps past it;
 - an explicit deadline can be passed as CRP_BENCH_DEADLINE_EPOCH (unix
   seconds); the supervisor subtracts a 45 s margin and treats it as a
   hard budget cap (the queue scripts pass their own round deadline);
@@ -241,8 +243,11 @@ def supervise() -> int:
     holding the relay claim blocks every later run."""
     retries = int(os.environ.get("CRP_BENCH_RETRIES", 3))
     backoff = float(os.environ.get("CRP_BENCH_RETRY_BACKOFF_S", 30))
+    # a HEALTHY run is ~10-15 min through the relay (claim + compile +
+    # pack + ~5 GB tile upload at ~25 MB/s) — the attempt bound must
+    # clear that with margin or it kills good runs
     attempt_timeout = float(
-        os.environ.get("CRP_BENCH_ATTEMPT_TIMEOUT_S", 900)
+        os.environ.get("CRP_BENCH_ATTEMPT_TIMEOUT_S", 1320)
     )
     # an attempt shorter than this can't produce a measurement, so a
     # backoff that leaves less than it is pointless (tests use tiny
@@ -251,7 +256,7 @@ def supervise() -> int:
     # total wall budget: a wedged chip claim must not eat the whole round
     # (the r3 wedge lasted >5 h), and the DEFAULT must undercut any outer
     # driver timeout (5400 s out-lived the round-4 window, BENCH_r04.json)
-    total_budget = float(os.environ.get("CRP_BENCH_TOTAL_TIMEOUT_S", 1500))
+    total_budget = float(os.environ.get("CRP_BENCH_TOTAL_TIMEOUT_S", 2820))
     # an explicit external deadline (unix epoch seconds) caps the budget
     # harder; queue scripts pass the round deadline here
     deadline_epoch = os.environ.get("CRP_BENCH_DEADLINE_EPOCH")
