@@ -1,0 +1,107 @@
+"""Device-side uniform-window densify (CRP_TPU_DEVICE_PACK).
+
+The relay-tunneled chip makes panel upload the dominant init cost
+(~25 MB/s for multi-GB panels); the device pack uploads O(nnz) scatter
+indices instead and densifies on device.  These tests pin (a) bit
+parity with the native host pack for both bf16 operating points, (b)
+the monotone-flat safety fallbacks (duplicates / unsorted rows refuse),
+and (c) end-to-end engine correctness with the device pack forced on
+the CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+from crp_tpu.sparse.synth import banded_random_csr, fill_b
+
+
+def _pack(shard, prec, monkeypatch, on):
+    from crp_tpu.kernels import dispatch
+
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "1" if on else "0")
+    return dispatch._pack_uniform_single_bf16(shard, 0, prec)
+
+
+@pytest.mark.parametrize("prec", ["x3", "default"])
+def test_device_pack_bit_parity(monkeypatch, prec):
+    a = banded_random_csr(1500, nnz_per_row=7, bandwidth=40, seed=3,
+                          dtype=np.float32)
+    shard = (a.rowptr, a.colidx.astype(np.int32), a.val)
+    host = _pack(shard, prec, monkeypatch, on=False)
+    dev = _pack(shard, prec, monkeypatch, on=True)
+    assert host is not None and dev is not None
+    h_arrays, _ = host
+    d_arrays, _ = dev
+    assert len(h_arrays) == len(d_arrays)
+    for h, d in zip(h_arrays, d_arrays):
+        hn = np.asarray(h)
+        dn = np.asarray(d)
+        assert hn.shape == dn.shape
+        # bf16 panels: compare raw bits (RNE split must match native's)
+        assert np.array_equal(
+            hn.view(np.uint16) if hn.dtype.itemsize == 2 else hn,
+            dn.view(np.uint16) if dn.dtype.itemsize == 2 else dn,
+        )
+
+
+def test_device_pack_refuses_duplicates(monkeypatch):
+    from crp_tpu.kernels.dispatch import _device_fill_window_bf16
+
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "1")
+    # two entries at the same (row, col): flat not strictly increasing
+    rowptr = np.array([0, 2], dtype=np.int64)
+    cc = np.array([5, 5], dtype=np.int32)
+    v = np.array([1.0, 2.0], dtype=np.float32)
+    ws = np.array([0], dtype=np.int32)
+    assert _device_fill_window_bf16(
+        rowptr, cc, v, 1, 256, 128, 1, ws, True
+    ) is None
+
+
+def test_device_pack_refuses_unsorted_rows(monkeypatch):
+    from crp_tpu.kernels.dispatch import _device_fill_window_bf16
+
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "1")
+    rowptr = np.array([0, 2], dtype=np.int64)
+    cc = np.array([9, 3], dtype=np.int32)  # descending within the row
+    v = np.array([1.0, 2.0], dtype=np.float32)
+    ws = np.array([0], dtype=np.int32)
+    assert _device_fill_window_bf16(
+        rowptr, cc, v, 1, 256, 128, 1, ws, True
+    ) is None
+
+
+def test_device_pack_budget_falls_back(monkeypatch):
+    from crp_tpu.kernels.dispatch import _device_fill_window_bf16
+
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK_BUDGET_GB", "0")
+    rowptr = np.array([0, 1], dtype=np.int64)
+    cc = np.array([0], dtype=np.int32)
+    v = np.array([1.0], dtype=np.float32)
+    ws = np.array([0], dtype=np.int32)
+    assert _device_fill_window_bf16(
+        rowptr, cc, v, 1, 256, 128, 1, ws, True
+    ) is None
+
+
+def test_engine_end_to_end_with_device_pack(devices8, monkeypatch):
+    """p=1 RowParaSpmm through the forced device pack matches the host
+    fp64 reference at the x3 operating point's tolerance."""
+    from crp_tpu.config import SpmmConfig
+    from crp_tpu.engine.rowpara import RowParaSpmm
+    from crp_tpu.plan.partition1d import csr_row_partition
+    from crp_tpu.shard.layout import make_mesh_1d
+    from crp_tpu.utils.norms import rel_fro_err
+
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "1")
+    a = banded_random_csr(2000, nnz_per_row=9, bandwidth=64, seed=11,
+                          dtype=np.float32)
+    displs = csr_row_partition(a.rowptr, 1)
+    cfg = SpmmConfig(kernel="pallas", mxu_precision="x3")
+    eng = RowParaSpmm(a, displs, displs, 64, mesh=make_mesh_1d(1),
+                      config=cfg, dtype=np.float32)
+    assert eng.kernel_kind == "pallas"
+    b = np.asarray(fill_b(0, a.ncol, 0, 64, dtype=np.float32))
+    c = eng.unshard_c(eng.exec_device(eng.shard_b(b)))
+    ref = a.spmm_ref(b.astype(np.float64))
+    assert rel_fro_err(ref, np.asarray(c, np.float64)) < 5e-6
