@@ -410,112 +410,6 @@ def _sg_geometry(ws_shard, W, TM, win_itemsize, interpret, G):
     return SG, Wsg, bases, Wc_sg, sgc, G_sg
 
 
-def _device_pack_enabled() -> bool:
-    """CRP_TPU_DEVICE_PACK: 1 force, 0 disable, auto (default) = TPU only.
-
-    Device-side densification replaces the dominant init cost on this
-    relay-tunneled chip — uploading multi-GB dense panels at ~25 MB/s —
-    with an upload of the O(nnz) scatter indices + values (~50x smaller)
-    and an on-device sorted-unique scatter at HBM rate.  The reference
-    has no analog (MKL consumes CSR in place, ``src/rowpara_spmm.c:398``);
-    this is the TPU equivalent of "the accelerator owns the layout".
-    """
-    import jax
-
-    v = os.environ.get("CRP_TPU_DEVICE_PACK", "auto")
-    if v == "auto":
-        return jax.default_backend() == "tpu"
-    return v == "1"
-
-
-_DEVICE_FILL_JIT = None
-
-
-def _device_fill_jit(flat_d, vals_d, *, g_sg, tm, w, sp):
-    """Jitted sorted-unique scatter + reduce_precision bf16 split.  The
-    compiled wrapper is module-cached so repeated packs reuse it."""
-    global _DEVICE_FILL_JIT
-    if _DEVICE_FILL_JIT is None:
-        import jax
-        import jax.numpy as jnp
-
-        def fill(flat_d, vals_d, *, g_sg, tm, w, sp):
-            t = jnp.zeros(g_sg * tm * w, jnp.float32)
-            t = t.at[flat_d].set(
-                vals_d, indices_are_sorted=True, unique_indices=True
-            )
-            t = t.reshape(g_sg, tm, w)
-            hi32 = jax.lax.reduce_precision(
-                t, exponent_bits=8, mantissa_bits=7
-            )
-            ah = hi32.astype(jnp.bfloat16)
-            if not sp:
-                return ah, None
-            al = (t - hi32).astype(jnp.bfloat16)
-            return ah, al
-
-        _DEVICE_FILL_JIT = jax.jit(
-            fill, static_argnames=("g_sg", "tm", "w", "sp")
-        )
-    return _DEVICE_FILL_JIT(flat_d, vals_d, g_sg=g_sg, tm=tm, w=w, sp=sp)
-
-
-def _device_fill_window_bf16(rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard,
-                             split):
-    """On-device uniform-window densify to bf16 (hi/lo pair when split).
-
-    Host computes only the O(nnz) flat scatter positions
-    ``flat = r*W + (c - ws[g])`` — strictly increasing for a per-row-
-    sorted, duplicate-free CSR (rows ascend, cols ascend within a row,
-    and every offset < W), which makes the densify a sorted-unique
-    scatter XLA lowers efficiently.  The bf16 split goes through
-    ``lax.reduce_precision`` (NOT a bf16 round-trip: on TPU XLA folds
-    ``x - f32(bf16(x))`` to zero — see ``split_b_bf16``), matching the
-    native pack's RNE hi + RNE(x - hi) bit-for-bit.
-
-    Returns (ws_full, ah, al_or_None) with ah/al committed jax arrays of
-    shape (G_sg, TM, W), or None when the shard is unsuitable (unsorted /
-    duplicate entries, offset overflow, device-memory budget).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    total = G_sg * TM * W
-    f32_bytes = total * 4
-    out_bytes = f32_bytes if split else f32_bytes // 2
-    budget = float(
-        os.environ.get("CRP_TPU_DEVICE_PACK_BUDGET_GB", 12)
-    ) * (1 << 30)
-    if f32_bytes + out_bytes > budget:
-        return None
-    if int(rowptr64[0]) != 0:
-        return None
-    counts = np.diff(rowptr64)
-    r = np.repeat(np.arange(nrow, dtype=np.int64), counts)
-    off = cc.astype(np.int64) - ws_shard.astype(np.int64)[r // TM]
-    if len(off) and (int(off.min()) < 0 or int(off.max()) >= W):
-        return None  # extents disagree with the data (unsorted rows)
-    flat = r * W + off
-    if np.any(np.diff(flat) <= 0):
-        return None  # duplicates or per-row-unsorted columns
-    idx_dtype = np.int32 if total < np.iinfo(np.int32).max else np.int64
-    flat = flat.astype(idx_dtype)
-    vals = np.asarray(v, np.float32)
-
-    try:
-        ah, al = _device_fill_jit(
-            flat, vals, g_sg=G_sg, tm=TM, w=W, sp=bool(split)
-        )
-        ah.block_until_ready()
-    except Exception as e:  # relay/compile hiccup: host pack still works
-        logger.warning("device pack failed (%s); using the host pack", e)
-        return None
-    ws_full = np.zeros(G_sg, dtype=np.int32)
-    G0 = -(-nrow // TM)
-    ws_full[:G0] = ws_shard
-    return ws_full, ah, al
-
-
 def _pack_uniform_single_bf16(shard, max_m, mxu_precision):
     """Single-shard bf16 operating points (``default`` / ``x3``): analyze
     window extents, plan super-groups, then densify STRAIGHT to bf16
@@ -560,12 +454,14 @@ def _pack_uniform_single_bf16(shard, max_m, mxu_precision):
     if sg_geo is None:
         return None  # the non-sg kernels take fp32 tiles
     SG, Wsg, bases, Wc_sg, sgc, G_sg = sg_geo
+    from . import device_pack
+
     ah0 = al0 = None
-    if _device_pack_enabled():
+    if device_pack.enabled():
         # on-device densify: upload O(nnz) indices+values instead of the
         # multi-GB panels; its monotone-flat check subsumes the native
         # path's sortedness cross-check below
-        dev = _device_fill_window_bf16(
+        dev = device_pack.uniform_fill_bf16(
             rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard, split,
         )
         if dev is not None:

@@ -437,17 +437,27 @@ def pack_ragged_window_bf16(
         rowptr, colidx, TM, Wc, min_chunk_nnz, G, max_panel_bytes, 4,
     )
     S = len(starts)
-    # the native fill stages one group's chunks in fp32; bound the
-    # transient (hub-heavy groups can hold most of the matrix's width)
-    max_nch = int(np.diff(group_ptr).max()) if G else 1
-    if max_nch * TM * Wc * 4 > (1 << 30):
-        return None
-    filled = native.ragged_fill_bf16(
-        rowptr, colidx, np.asarray(val, np.float32), TM, TK, Wc, G,
-        starts, group_ptr, spill_nnz, split,
-    )
+    filled = None
+    from . import device_pack
+
+    if device_pack.enabled():
+        # densify ON DEVICE: uploads O(nnz) scatter positions instead of
+        # the multi-GB panels (the dominant init cost through the relay)
+        filled = device_pack.ragged_fill_bf16(
+            rowptr, colidx, val, TM, Wc, G, starts, group_ptr, split,
+        )
     if filled is None:
-        return None
+        # the native fill stages one group's chunks in fp32; bound the
+        # transient (hub-heavy groups can hold most of the matrix's width)
+        max_nch = int(np.diff(group_ptr).max()) if G else 1
+        if max_nch * TM * Wc * 4 > (1 << 30):
+            return None
+        filled = native.ragged_fill_bf16(
+            rowptr, colidx, np.asarray(val, np.float32), TM, TK, Wc, G,
+            starts, group_ptr, spill_nnz, split,
+        )
+        if filled is None:
+            return None
     ah, al, sp_rows, sp_cols, sp_vals = filled
     spill_nnz = len(sp_rows)
     spill = (sp_rows, sp_cols, sp_vals) if spill_nnz else None

@@ -45,7 +45,7 @@ def test_device_pack_bit_parity(monkeypatch, prec):
 
 
 def test_device_pack_refuses_duplicates(monkeypatch):
-    from crp_tpu.kernels.dispatch import _device_fill_window_bf16
+    from crp_tpu.kernels.device_pack import uniform_fill_bf16
 
     monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "1")
     # two entries at the same (row, col): flat not strictly increasing
@@ -53,35 +53,74 @@ def test_device_pack_refuses_duplicates(monkeypatch):
     cc = np.array([5, 5], dtype=np.int32)
     v = np.array([1.0, 2.0], dtype=np.float32)
     ws = np.array([0], dtype=np.int32)
-    assert _device_fill_window_bf16(
-        rowptr, cc, v, 1, 256, 128, 1, ws, True
-    ) is None
+    assert uniform_fill_bf16(rowptr, cc, v, 1, 256, 128, 1, ws, True) is None
 
 
 def test_device_pack_refuses_unsorted_rows(monkeypatch):
-    from crp_tpu.kernels.dispatch import _device_fill_window_bf16
+    from crp_tpu.kernels.device_pack import uniform_fill_bf16
 
     monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "1")
     rowptr = np.array([0, 2], dtype=np.int64)
     cc = np.array([9, 3], dtype=np.int32)  # descending within the row
     v = np.array([1.0, 2.0], dtype=np.float32)
     ws = np.array([0], dtype=np.int32)
-    assert _device_fill_window_bf16(
-        rowptr, cc, v, 1, 256, 128, 1, ws, True
-    ) is None
+    assert uniform_fill_bf16(rowptr, cc, v, 1, 256, 128, 1, ws, True) is None
 
 
 def test_device_pack_budget_falls_back(monkeypatch):
-    from crp_tpu.kernels.dispatch import _device_fill_window_bf16
+    from crp_tpu.kernels.device_pack import uniform_fill_bf16
 
     monkeypatch.setenv("CRP_TPU_DEVICE_PACK_BUDGET_GB", "0")
     rowptr = np.array([0, 1], dtype=np.int64)
     cc = np.array([0], dtype=np.int32)
     v = np.array([1.0], dtype=np.float32)
     ws = np.array([0], dtype=np.int32)
-    assert _device_fill_window_bf16(
-        rowptr, cc, v, 1, 256, 128, 1, ws, True
-    ) is None
+    assert uniform_fill_bf16(rowptr, cc, v, 1, 256, 128, 1, ws, True) is None
+
+
+def _cplaw(n, seed):
+    from crp_tpu.sparse.synth import powerlaw_community_csr
+
+    return powerlaw_community_csr(n, avg_degree=8, comm_size=n // 8,
+                                  seed=seed)
+
+
+@pytest.mark.parametrize("split", [True, False])
+def test_ragged_device_pack_parity(monkeypatch, split):
+    """Ragged device fill matches the native host fill bit-for-bit:
+    panels (bf16 raw bits) and the spill COO set."""
+    from crp_tpu.kernels.spmm_ragged import pack_ragged_window_bf16
+
+    a = _cplaw(3000, seed=7)
+    args = (a.rowptr, a.colidx.astype(np.int32),
+            np.asarray(a.val, np.float32), a.ncol)
+    kw = dict(TM=128, Wc=256, split=split)
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "0")
+    host = pack_ragged_window_bf16(*args, **kw)
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "1")
+    dev = pack_ragged_window_bf16(*args, **kw)
+    assert host is not None and dev is not None
+    rw_h, ah_h, al_h = host
+    rw_d, ah_d, al_d = dev
+    assert np.array_equal(rw_h.starts, rw_d.starts)
+    assert np.array_equal(
+        np.asarray(ah_h).view(np.uint16), np.asarray(ah_d).view(np.uint16)
+    )
+    if split:
+        assert np.array_equal(
+            np.asarray(al_h).view(np.uint16),
+            np.asarray(al_d).view(np.uint16),
+        )
+    assert rw_h.spill_nnz == rw_d.spill_nnz
+    if rw_h.spill_nnz:
+        # same (row, col, val) set regardless of emission order
+        def key(sp):
+            r, c, v = (np.asarray(x) for x in sp)
+            o = np.lexsort((c, r))
+            return r[o], c[o], v[o]
+
+        for h, d in zip(key(rw_h.spill), key(rw_d.spill)):
+            assert np.array_equal(h, d)
 
 
 def test_engine_end_to_end_with_device_pack(devices8, monkeypatch):
