@@ -52,9 +52,10 @@ def _budget_bytes() -> float:
     ) * (1 << 30)
 
 
-def fill_panels(flat, vals, n_panels, tm, w, split):
+def fill_panels(flat, vals, n_panels, tm, w, mode):
     """Sorted-unique scatter of ``vals`` at ``flat`` into zeroed
-    ``(n_panels, tm, w)`` fp32 panels, split to bf16 on device.
+    ``(n_panels, tm, w)`` fp32 panels; ``mode``: "f32" returns them as
+    is, "bf16" the RNE hi half, "pair" the hi/lo bf16 pair.
 
     ``flat`` MUST be strictly increasing (caller's contract).  Returns
     committed jax arrays ``(ah, al_or_None)``; raises on device errors
@@ -66,35 +67,40 @@ def fill_panels(flat, vals, n_panels, tm, w, split):
     if _FILL_JIT is None:
         import jax.numpy as jnp
 
-        def fill(flat_d, vals_d, *, n_panels, tm, w, sp):
+        def fill(flat_d, vals_d, *, n_panels, tm, w, mode):
             t = jnp.zeros(n_panels * tm * w, jnp.float32)
             t = t.at[flat_d].set(
                 vals_d, indices_are_sorted=True, unique_indices=True
             )
             t = t.reshape(n_panels, tm, w)
+            if mode == "f32":
+                return t, None
             hi32 = jax.lax.reduce_precision(
                 t, exponent_bits=8, mantissa_bits=7
             )
             ah = hi32.astype(jnp.bfloat16)
-            if not sp:
+            if mode == "bf16":
                 return ah, None
             al = (t - hi32).astype(jnp.bfloat16)
             return ah, al
 
         _FILL_JIT = jax.jit(
-            fill, static_argnames=("n_panels", "tm", "w", "sp")
+            fill, static_argnames=("n_panels", "tm", "w", "mode")
         )
     ah, al = _FILL_JIT(
-        flat, vals, n_panels=int(n_panels), tm=int(tm), w=int(w),
-        sp=bool(split),
+        flat, vals, n_panels=int(n_panels), tm=int(tm), w=int(w), mode=mode,
     )
     ah.block_until_ready()
     return ah, al
 
 
-def _fits_budget(n_panels, tm, w, split) -> bool:
+def _split_mode(split) -> str:
+    return "pair" if split else "bf16"
+
+
+def _fits_budget(n_panels, tm, w, mode) -> bool:
     f32_bytes = int(n_panels) * int(tm) * int(w) * 4
-    out_bytes = f32_bytes if split else f32_bytes // 2
+    out_bytes = {"f32": 0, "bf16": f32_bytes // 2, "pair": f32_bytes}[mode]
     return f32_bytes + out_bytes <= _budget_bytes()
 
 
@@ -102,14 +108,15 @@ def _index_dtype(total):
     return np.int32 if total < np.iinfo(np.int32).max else np.int64
 
 
-def uniform_fill_bf16(rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard, split):
-    """Uniform-window device densify; see ``dispatch`` for the caller.
+def uniform_fill(rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard, mode):
+    """Uniform-window device densify; see ``dispatch`` for the callers.
 
+    ``mode``: "pair" (x3 hi/lo), "bf16" (1-pass), "f32" (HIGHEST).
     Returns (ws_full, ah, al_or_None) or None when the shard is
     unsuitable (unsorted/duplicate entries, offset overflow, budget).
     """
     total = G_sg * TM * W
-    if not _fits_budget(G_sg, TM, W, split):
+    if not _fits_budget(G_sg, TM, W, mode):
         return None
     if int(rowptr64[0]) != 0:
         return None
@@ -124,7 +131,7 @@ def uniform_fill_bf16(rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard, split):
     flat = flat.astype(_index_dtype(total))
     vals = np.asarray(v, np.float32)
     try:
-        ah, al = fill_panels(flat, vals, G_sg, TM, W, split)
+        ah, al = fill_panels(flat, vals, G_sg, TM, W, mode)
     except Exception as e:  # relay/compile hiccup: host pack still works
         logger.warning("device pack failed (%s); using the host pack", e)
         return None
@@ -132,6 +139,12 @@ def uniform_fill_bf16(rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard, split):
     G0 = -(-nrow // TM)
     ws_full[:G0] = ws_shard
     return ws_full, ah, al
+
+
+def uniform_fill_bf16(rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard, split):
+    return uniform_fill(
+        rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard, _split_mode(split)
+    )
 
 
 def ragged_fill_bf16(rowptr, colidx, val, TM, Wc, G, starts, group_ptr,
@@ -145,7 +158,8 @@ def ragged_fill_bf16(rowptr, colidx, val, TM, Wc, G, starts, group_ptr,
     (ah, al_or_None, sp_rows, sp_cols, sp_vals) or None.
     """
     S = len(starts)
-    if not _fits_budget(S, TM, Wc, split):
+    mode = _split_mode(split)
+    if not _fits_budget(S, TM, Wc, mode):
         return None
     if int(rowptr[0]) != 0:
         return None
@@ -181,7 +195,7 @@ def ragged_fill_bf16(rowptr, colidx, val, TM, Wc, G, starts, group_ptr,
     vals = np.asarray(val, np.float32)[pi[order]]
     flat = flat.astype(_index_dtype(total))
     try:
-        ah, al = fill_panels(flat, vals, S, TM, Wc, split)
+        ah, al = fill_panels(flat, vals, S, TM, Wc, mode)
     except Exception as e:
         logger.warning("device ragged pack failed (%s); using host", e)
         return None

@@ -523,6 +523,74 @@ def _pack_uniform_single_bf16(shard, max_m, mxu_precision):
     return (ws, ah, bases[None]), local_fn
 
 
+def _pack_uniform_single_f32_device(shard, max_m):
+    """Single-shard fp32 HIGHEST operating point, panels densified on
+    device (same geometry math as :func:`_pack_uniform_single_bf16`;
+    ``device_pack.uniform_fill`` mode "f32" skips the bf16 split).  The
+    host fp32 pack + upload it replaces dominated the HIGHEST row's init
+    (344 s at the pwtk headline shape, ``r3_tpu_matrix.jsonl``)."""
+    import jax
+
+    from . import device_pack
+    from .spmm_pallas import (
+        TK, WindowDense, choose_chunks, spmm_window_pallas_sg,
+        window_extents,
+    )
+
+    if not device_pack.enabled():
+        return None
+    rowptr, cc, v = shard
+    if len(rowptr) < 2 or int(rowptr[-1]) - int(rowptr[0]) == 0:
+        return None
+    TM, max_window = 256, 16384
+    nrow = len(rowptr) - 1
+    rowptr64 = np.ascontiguousarray(rowptr, dtype=np.int64)
+    min_t, W0 = window_extents(rowptr64, cc, TM)
+    if W0 > max_window:
+        return None  # generic path raises UnsupportedSparsity
+    W, _, _ = choose_chunks(W0)
+    G0 = -(-nrow // TM)
+    G = max(G0, -(-max_m // TM))
+    if G * W * TM * 4 > (8 << 30):
+        return None  # keep the generic fp32 cap check authoritative
+    ws_shard = (min_t * TK).astype(np.int32)
+    interpret = jax.default_backend() != "tpu"
+    sg_geo = _sg_geometry(ws_shard, W, TM, 4, interpret, G)
+    if sg_geo is None:
+        return None
+    SG, Wsg, bases, Wc_sg, sgc, G_sg = sg_geo
+    dev = device_pack.uniform_fill(
+        rowptr64, cc, v, nrow, TM, W, G_sg, ws_shard, "f32",
+    )
+    if dev is None:
+        return None
+    ws_full, tiles0, _ = dev
+    if G_sg > G0:
+        ws_full[G0:] = ws_full[G0 - 1]
+    ws, tiles = ws_full[None], tiles0[None]
+    min_b_rows = max(int(ws.max()) + W, int(bases.max()) + Wsg)
+
+    def local_fn(arrs, rB):
+        ws_i, tiles_i, bases_i = arrs
+        packed = WindowDense(
+            nrow=max_m, ncol=rB.shape[0], TM=TM, G=G_sg, W=W,
+            ws=ws_i, tiles=tiles_i,
+        )
+        c = spmm_window_pallas_sg(
+            packed, rB, SG, Wsg, bases_i, Wc=Wc_sg,
+            precision=None, interpret=interpret,
+        )
+        return c.astype(rB.dtype)
+
+    local_fn.min_b_rows = min_b_rows
+    local_fn.roofline = dict(
+        G=G_sg, TM=TM, W=W, a_bytes=tiles.nbytes,
+        b_rows_read=sgc * Wsg, c_rows=G_sg * TM, b_itemsize=4,
+        passes=6,
+    )
+    return (ws, tiles, bases[None]), local_fn
+
+
 def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
     import jax
 
@@ -534,6 +602,14 @@ def _pack_pallas_uniform(shards, max_m, dtype, mxu_precision="highest"):
         and mxu_precision in ("default", "x3")
     ):
         fast = _pack_uniform_single_bf16(shards[0], max_m, mxu_precision)
+        if fast is not None:
+            return fast
+    if (
+        len(shards) == 1
+        and np.dtype(dtype) == np.float32
+        and mxu_precision not in ("default", "x3")
+    ):
+        fast = _pack_uniform_single_f32_device(shards[0], max_m)
         if fast is not None:
             return fast
 

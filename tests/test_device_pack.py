@@ -78,6 +78,23 @@ def test_device_pack_budget_falls_back(monkeypatch):
     assert uniform_fill_bf16(rowptr, cc, v, 1, 256, 128, 1, ws, True) is None
 
 
+def test_device_pack_f32_highest_parity(monkeypatch):
+    """The HIGHEST operating point's device fill produces the same
+    (ws, fp32 tiles, bases) as the generic host pack."""
+    from crp_tpu.kernels.dispatch import _pack_pallas_uniform
+
+    a = banded_random_csr(1500, nnz_per_row=7, bandwidth=40, seed=3,
+                          dtype=np.float32)
+    shards = [(a.rowptr, a.colidx.astype(np.int32), a.val)]
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "0")
+    h_arrays, _, = _pack_pallas_uniform(shards, a.nrow, np.float32)
+    monkeypatch.setenv("CRP_TPU_DEVICE_PACK", "1")
+    d_arrays, _ = _pack_pallas_uniform(shards, a.nrow, np.float32)
+    assert len(h_arrays) == len(d_arrays) == 3
+    for h, d in zip(h_arrays, d_arrays):
+        assert np.array_equal(np.asarray(h), np.asarray(d))
+
+
 def _cplaw(n, seed):
     from crp_tpu.sparse.synth import powerlaw_community_csr
 
