@@ -30,11 +30,12 @@ from .config import SpmmConfig, get_env_int
 def __getattr__(name):
     # engines/redist import jax; keep top-level import light for host-only use
     if name in ("RowParaSpmm", "Para2dSpmm", "CrpSpmm", "RedistEngine",
-                "BlockDist", "DifferentiableSpmm"):
+                "BlockDist", "DifferentiableSpmm", "ValueParameterizedSpmm"):
         from .engine.rowpara import RowParaSpmm
         from .engine.para2d import Para2dSpmm
         from .engine.crp import CrpSpmm
         from .engine.autodiff import DifferentiableSpmm
+        from .engine.trainable import ValueParameterizedSpmm
         from .shard.redist import RedistEngine, BlockDist
 
         return {
@@ -44,6 +45,7 @@ def __getattr__(name):
             "RedistEngine": RedistEngine,
             "BlockDist": BlockDist,
             "DifferentiableSpmm": DifferentiableSpmm,
+            "ValueParameterizedSpmm": ValueParameterizedSpmm,
         }[name]
     raise AttributeError(f"module 'crp_tpu' has no attribute {name!r}")
 
@@ -65,4 +67,5 @@ __all__ = [
     "RedistEngine",
     "BlockDist",
     "DifferentiableSpmm",
+    "ValueParameterizedSpmm",
 ]
