@@ -19,7 +19,7 @@ Usage:
                     # pallas,ragged,gather,dd,dd_mxu,pallas_halo
 
 Common flags: --engine=para2d|rowpara  --kernel=...  --dtype=...
-  --reorder=rcm|metis (locality reordering before packing, recorded with
+  --reorder=rcm|metis|cluster (locality reordering before packing, recorded
   before/after bandwidth — the cage15-rcm preprocessing analog)
   --ntest=N  --out=FILE.jsonl  --cpu-mesh=N (re-exec on an N-device
   virtual CPU mesh — the reference's "mpirun -np P on one box")
@@ -275,14 +275,16 @@ def main(argv=None) -> int:
 
     sweep = pos[0]
     a = load_matrix(pos[1], need_symm=False)
-    # --reorder=rcm|metis: bandwidth/locality reordering BEFORE packing —
+    # --reorder=rcm|metis|cluster: locality reordering BEFORE packing —
     # the reference benches reordered social graphs as separate inputs
     # (cage15-rcm, SC23_AD/readme.md:95-102); here it is a recorded
     # preprocessing step so scrambled-id graphs regain the community
     # structure the ragged cover needs
     reorder_info = None
     if "reorder" in opt:
-        from ..sparse.reorder import metis_row_partition, rcm_reorder
+        from ..sparse.reorder import (
+            cluster_reorder, metis_row_partition, rcm_reorder,
+        )
 
         bw0 = int(a.bandwidth())
         t0 = time.perf_counter()
@@ -291,6 +293,12 @@ def main(argv=None) -> int:
         elif opt["reorder"] == "metis":
             a, _, _ = metis_row_partition(
                 a, int(opt.get("reorder-parts", 8))
+            )
+        elif opt["reorder"] == "cluster":
+            # recursive-bisection locality ordering — restores community
+            # structure a flat k-way reorder cannot (r4_tpu_reorder.jsonl)
+            a, _ = cluster_reorder(
+                a, leaf_size=int(opt.get("reorder-leaf", 256))
             )
         else:
             raise SystemExit(f"unknown --reorder={opt['reorder']!r}")

@@ -187,6 +187,149 @@ def metis_row_partition(
     return out, perm, displs
 
 
+def _bisect(rowptr: np.ndarray, colidx: np.ndarray, imbalance: float):
+    """One 2-way GGGP split of a (sub)graph: part-id vector in {0, 1}."""
+    from .. import native
+
+    parts = native.ggp_partition(rowptr, colidx, 2, imbalance)
+    if parts is None:
+        parts = _ggp_partition_py(rowptr, colidx, 2, imbalance)
+    return np.asarray(parts, dtype=np.int64)
+
+
+def _refine_bisection(
+    rowptr: np.ndarray,
+    colidx: np.ndarray,
+    parts: np.ndarray,
+    rounds: int,
+    imbalance: float,
+) -> np.ndarray:
+    """Synchronous boundary refinement of a 2-way split (vectorized
+    Kernighan-Lin-flavored sweeps): each round moves every positive-gain
+    vertex (more neighbors across the cut than inside), trimming the
+    lowest-gain movers when the net flow would breach the balance cap.
+    O(nnz) per round in numpy; measured on the scrambled-cplaw synthetic
+    it cuts the post-reorder ragged spill from 36% to 24% of nnz (the
+    sorted original is 19%)."""
+    n = len(rowptr) - 1
+    if n == 0 or rounds <= 0:
+        return parts
+    deg = np.diff(rowptr)
+    row_of = np.repeat(np.arange(n), deg)
+    cap = int(imbalance * n / 2) + 1
+    for _ in range(rounds):
+        in1 = np.bincount(row_of, weights=parts[colidx], minlength=n)
+        gain = np.where(parts == 0, 2 * in1 - deg, deg - 2 * in1)
+        move = gain > 0
+        m0 = np.nonzero(move & (parts == 0))[0]
+        m1 = np.nonzero(move & (parts == 1))[0]
+        if len(m0) == 0 and len(m1) == 0:
+            break
+        c0 = int((parts == 0).sum())
+        # net flow into part 0 is len(m1) - len(m0); trim the lowest-gain
+        # movers on whichever side overfills
+        c0_new = c0 - len(m0) + len(m1)
+        if c0_new > cap and len(m1):
+            k = c0_new - cap
+            order = np.argsort(gain[m1], kind="stable")
+            m1 = m1[order[k:]] if k < len(m1) else m1[:0]
+            c0_new = c0 - len(m0) + len(m1)
+        if c0_new < n - cap and len(m0):
+            k = (n - cap) - c0_new
+            order = np.argsort(gain[m0], kind="stable")
+            m0 = m0[order[k:]] if k < len(m0) else m0[:0]
+        if len(m0) == 0 and len(m1) == 0:
+            break
+        parts = parts.copy()
+        parts[m0] = 1
+        parts[m1] = 0
+    return parts
+
+
+def cluster_reorder(
+    a: CSRMatrix,
+    leaf_size: int = 256,
+    imbalance: float = 1.10,
+    refine_rounds: int = 8,
+) -> tuple[CSRMatrix, np.ndarray]:
+    """Recursive-bisection locality ordering (nested GGGP).
+
+    The reference's METIS reorder (``examples/metis_mat_part.c:31-112``)
+    sorts vertices by a FLAT k-way part id: with few parts, vertices
+    *within* a part keep their original (possibly scrambled) order, so on
+    a label-permuted community graph the permuted matrix stays hostile to
+    windowed kernels (measured: GGGP-8 reorder left the scrambled-cplaw
+    bandwidth unchanged and the ragged cover still refused,
+    ``bench_results/r4_tpu_reorder.jsonl``).  Recursive bisection fixes
+    exactly that: each level splits by connectivity and the leaves are
+    emitted depth-first, so strongly connected vertex sets get contiguous
+    new ids at EVERY scale down to ``leaf_size`` — the nested-dissection-
+    style ordering METIS itself would produce via ``METIS_NodeND``.  Each
+    split is polished by ``refine_rounds`` synchronous boundary-refinement
+    sweeps (:func:`_refine_bisection`), which on the scrambled-cplaw
+    synthetic takes the recovered ragged spill from 36% to 24% of nnz
+    (the unscrambled original: 19%).
+
+    Cost: O(depth x nnz) with depth = log2(nrow / leaf_size); ~tens of
+    seconds host-side on a 10M-nnz graph, same order as the reference's
+    one-time METIS call.  Returns (permuted matrix, perm),
+    ``perm[new] = old``.
+    """
+    if a.nrow != a.ncol:
+        raise ValueError("cluster reordering requires a symmetric matrix")
+    rowptr = np.asarray(a.rowptr, dtype=np.int64)
+    colidx = np.asarray(a.colidx, dtype=np.int64)
+    nrow = a.nrow
+    perm = np.empty(nrow, dtype=np.int64)
+    n_out = 0
+    pos = np.full(nrow, -1, dtype=np.int64)  # orig id -> local id scratch
+    stack = [np.arange(nrow, dtype=np.int64)]
+    while stack:
+        ids = stack.pop()
+        if len(ids) <= leaf_size:
+            perm[n_out: n_out + len(ids)] = ids
+            n_out += len(ids)
+            continue
+        # extract the induced subgraph A[ids][:, ids] (vectorized: the
+        # gather index list is the concatenation of each row's CSR range)
+        pos[ids] = np.arange(len(ids))
+        deg = rowptr[ids + 1] - rowptr[ids]
+        total = int(deg.sum())
+        cum = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(deg[:-1], out=cum[1:])
+        gather = (
+            np.repeat(rowptr[ids] - cum, deg) + np.arange(total)
+        ) if len(ids) < nrow else np.arange(len(colidx))
+        sub_cols_orig = colidx[gather]
+        keep = pos[sub_cols_orig] >= 0
+        # re-count per-row degrees after dropping cross-subset edges
+        row_of = np.repeat(np.arange(len(ids)), deg)
+        kept_rows = row_of[keep]
+        sub_colidx = pos[sub_cols_orig[keep]]
+        sub_rowptr = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(np.bincount(kept_rows, minlength=len(ids)),
+                  out=sub_rowptr[1:])
+        pos[ids] = -1
+        parts = _bisect(sub_rowptr, sub_colidx, imbalance)
+        parts = _refine_bisection(
+            sub_rowptr, sub_colidx, parts, refine_rounds, imbalance
+        )
+        left, right = ids[parts == 0], ids[parts == 1]
+        if len(left) == 0 or len(right) == 0:  # degenerate: emit as leaf
+            perm[n_out: n_out + len(ids)] = ids
+            n_out += len(ids)
+            continue
+        stack.append(right)  # LIFO: left emitted first (depth-first)
+        stack.append(left)
+    assert n_out == nrow, (n_out, nrow)
+    out = permute_symmetric(a, perm)
+    logger.info(
+        "cluster reorder: bandwidth %d -> %d (leaf %d)",
+        a.bandwidth(), out.bandwidth(), leaf_size,
+    )
+    return out, perm
+
+
 def spectral_partition_rows(a: CSRMatrix, nparts: int) -> np.ndarray:
     """Degree-balanced fallback 1D partition for graph matrices without
     METIS: BFS-cluster rows after RCM.  Returns (nparts+1,) displacements."""

@@ -290,3 +290,32 @@ def test_suite_cli_reorder_flag(capsys):
     assert rec["reorder"]["bandwidth_before"] > 0
     assert rec["kernel_resolved"] == "ragged"
     assert rec["kernel_detail"]["mxu_frac"] >= 0.3
+
+
+def test_cluster_reorder_recovers_scrambled_communities():
+    """Recursive-bisection ordering restores ragged-cover viability on a
+    label-permuted community graph where the flat k-way reorder cannot
+    (measured on chip: bench_results/r4_tpu_reorder.jsonl)."""
+    from crp_tpu.kernels.spmm_ragged import estimate_ragged
+    from crp_tpu.sparse.reorder import cluster_reorder
+    from crp_tpu.sparse.synth import powerlaw_community_csr
+
+    a = powerlaw_community_csr(
+        32768, avg_degree=10, comm_size=1024, p_local=0.85,
+        permute=True, seed=7,
+    )
+    S0, spill0, _ = estimate_ragged(a.rowptr, a.colidx, 256, 128)
+    out, perm = cluster_reorder(a, leaf_size=256)
+    S1, spill1, _ = estimate_ragged(out.rowptr, out.colidx, 256, 128)
+    # scrambled: most nnz land in below-break-even chunks and spill;
+    # reordered: MXU majority
+    assert spill0 > 0.6 * a.nnz, (spill0, a.nnz)
+    assert spill1 < 0.5 * a.nnz, (spill1, a.nnz)
+    assert spill1 < 0.6 * spill0, (spill1, spill0)
+
+    # the permutation is a bijection and preserves the computation
+    assert np.array_equal(np.sort(perm), np.arange(a.nrow))
+    b = fill_b(0, a.ncol, 0, 8, dtype=np.float64)
+    c_ref = np.asarray(a.spmm_ref(np.asarray(b)))
+    c_out = np.asarray(out.spmm_ref(np.asarray(b)[perm]))
+    assert rel_fro_err(c_ref[perm], c_out) <= 1e-13
