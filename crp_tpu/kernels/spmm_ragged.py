@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 
@@ -496,9 +497,79 @@ def estimate_ragged(
 # --------------------------------------------------------------------- kernel
 
 
+def ragged_slots(total: int) -> int:
+    """Chunk-pipeline depth (B window + A panel DMA slots).
+
+    The per-chunk MXU work is tiny (a (TM, Wc) x (Wc, TN) dot, ~0.5 us),
+    so with the classic 2-slot double buffer every grid step exposes the
+    B-window DMA's end-to-end latency — measured on the cplaw power-law
+    class this serialization, not bandwidth or FLOPs, bounds the kernel
+    (both (512,128)/S=12322 and (256,512)/S=8607 geometries landed at
+    ~0.081 s, ~8% MXU; ``bench_results/r4_tpu_geometry.jsonl``).  A deeper
+    rolling prefetch gives each transfer NSLOT-1 steps of flight time.
+    ``CRP_TPU_RAGGED_SLOTS`` overrides (min 2, max 16)."""
+    ns = int(os.environ.get("CRP_TPU_RAGGED_SLOTS", 8))
+    return max(2, min(ns, 16, max(total, 2)))
+
+
+def _chunk_pipeline(pl, pltpu, starts_ref, a_hbms, b_hbm, awins, asems,
+                    bwin, bsem, *, TM, Wc, TN, S, NSLOT, lin, total):
+    """Rolling NSLOT-deep prefetch of chunk (A panel, B window) pairs.
+
+    Returns (slot, wait) — ``wait()`` blocks on chunk ``lin``'s transfers.
+    A panels live in HBM as (S*TM, Wc) (one flat panel stack); chunk l's
+    panel is rows [ss*TM, (ss+1)*TM).  The B window is the classic
+    scalar-prefetched ``starts_ref`` slice.  Slot reuse distance equals
+    NSLOT, one step beyond the consuming wait — the same safety margin as
+    the original 2-slot double buffer."""
+
+    def dmas(l, slot):
+        jj = l // S
+        ss = l - jj * S
+        ops = [
+            pltpu.make_async_copy(
+                b_hbm.at[
+                    pl.ds(pl.multiple_of(starts_ref[ss], TK), Wc),
+                    pl.ds(pl.multiple_of(jj * TN, TN), TN),
+                ],
+                bwin.at[slot],
+                bsem.at[slot],
+            )
+        ]
+        ops += [
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(pl.multiple_of(ss * TM, TM), TM)],
+                win.at[slot],
+                sem.at[slot],
+            )
+            for hbm, win, sem in zip(a_hbms, awins, asems)
+        ]
+        return ops
+
+    @pl.when(lin == 0)
+    def _():
+        for k in range(min(NSLOT - 1, total)):
+            for op in dmas(k, k % NSLOT):
+                op.start()
+
+    @pl.when(lin + NSLOT - 1 < total)
+    def _():
+        for op in dmas(lin + NSLOT - 1, (lin + NSLOT - 1) % NSLOT):
+            op.start()
+
+    slot = lin % NSLOT
+
+    def wait():
+        for op in dmas(lin, slot):
+            op.wait()
+
+    return slot, wait
+
+
 def _ragged_kernel(
-    g_ref, first_ref, starts_ref, a_ref, b_hbm, o_ref, window, sem,
-    *, Wc, TN, NJ, S, precision, compute_dtype, acc_dtype,
+    g_ref, first_ref, starts_ref, a_hbm, b_hbm, o_ref,
+    awin, bwin, asem, bsem,
+    *, TM, Wc, TN, NJ, S, NSLOT, precision, compute_dtype, acc_dtype,
 ):
     import jax
     import jax.numpy as jnp
@@ -510,33 +581,17 @@ def _ragged_kernel(
     lin = j * S + s
     total = NJ * S
 
-    def chunk_dma(l, slot):
-        jj = l // S
-        ss = l - jj * S
-        return pltpu.make_async_copy(
-            b_hbm.at[
-                pl.ds(pl.multiple_of(starts_ref[ss], TK), Wc),
-                pl.ds(pl.multiple_of(jj * TN, TN), TN),
-            ],
-            window.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(lin == 0)
-    def _():
-        chunk_dma(0, 0).start()
-
-    @pl.when(lin + 1 < total)
-    def _():
-        chunk_dma(lin + 1, (lin + 1) % 2).start()
-
-    slot = lin % 2
-    chunk_dma(lin, slot).wait()
+    slot, wait = _chunk_pipeline(
+        pl, pltpu, starts_ref, (a_hbm,), b_hbm, (awin,), (asem,),
+        bwin, bsem, TM=TM, Wc=Wc, TN=TN, S=S, NSLOT=NSLOT,
+        lin=lin, total=total,
+    )
+    wait()
 
     dims = (((1,), (0,)), ((), ()))
     if precision == "x3":
-        a32 = a_ref[0].astype(jnp.float32)
-        b32 = window[slot].astype(jnp.float32)
+        a32 = awin[slot].astype(jnp.float32)
+        b32 = bwin[slot].astype(jnp.float32)
         ah = a32.astype(jnp.bfloat16)
         al = (a32 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
         bh = b32.astype(jnp.bfloat16)
@@ -548,8 +603,8 @@ def _ragged_kernel(
         partial = dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
     else:
         partial = jax.lax.dot_general(
-            a_ref[0].astype(compute_dtype),
-            window[slot].astype(compute_dtype),
+            awin[slot].astype(compute_dtype),
+            bwin[slot].astype(compute_dtype),
             dims,
             preferred_element_type=acc_dtype,
             precision=precision,
@@ -567,8 +622,9 @@ def _ragged_kernel(
 
 
 def _ragged_kernel_presplit(
-    g_ref, first_ref, starts_ref, ah_ref, al_ref, b_hbm, o_ref, window, sem,
-    *, Wc, TN, NJ, S,
+    g_ref, first_ref, starts_ref, ah_hbm, al_hbm, b_hbm, o_ref,
+    ah_win, al_win, bwin, ah_sem, al_sem, bsem,
+    *, TM, Wc, TN, NJ, S, NSLOT,
 ):
     """x3 variant: A chunks pre-split to bf16 hi/lo at pack time, B split
     in-kernel (the in-kernel B split is fully hidden behind the DMA —
@@ -583,37 +639,23 @@ def _ragged_kernel_presplit(
     lin = j * S + s
     total = NJ * S
 
-    def chunk_dma(l, slot):
-        jj = l // S
-        ss = l - jj * S
-        return pltpu.make_async_copy(
-            b_hbm.at[
-                pl.ds(pl.multiple_of(starts_ref[ss], TK), Wc),
-                pl.ds(pl.multiple_of(jj * TN, TN), TN),
-            ],
-            window.at[slot],
-            sem.at[slot],
-        )
+    slot, wait = _chunk_pipeline(
+        pl, pltpu, starts_ref, (ah_hbm, al_hbm), b_hbm,
+        (ah_win, al_win), (ah_sem, al_sem), bwin, bsem,
+        TM=TM, Wc=Wc, TN=TN, S=S, NSLOT=NSLOT, lin=lin, total=total,
+    )
+    wait()
 
-    @pl.when(lin == 0)
-    def _():
-        chunk_dma(0, 0).start()
-
-    @pl.when(lin + 1 < total)
-    def _():
-        chunk_dma(lin + 1, (lin + 1) % 2).start()
-
-    slot = lin % 2
-    chunk_dma(lin, slot).wait()
-
-    b32 = window[slot].astype(jnp.float32)
+    b32 = bwin[slot].astype(jnp.float32)
     bh = b32.astype(jnp.bfloat16)
     bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    partial = dot(ah_ref[0], bh) + (dot(ah_ref[0], bl) + dot(al_ref[0], bh))
+    partial = dot(ah_win[slot], bh) + (
+        dot(ah_win[slot], bl) + dot(al_win[slot], bh)
+    )
 
     first = first_ref[s] == 1
 
@@ -627,8 +669,9 @@ def _ragged_kernel_presplit(
 
 
 def _ragged_kernel_bf16(
-    g_ref, first_ref, starts_ref, ah_ref, bh_hbm, o_ref, window, sem,
-    *, Wc, TN, NJ, S,
+    g_ref, first_ref, starts_ref, ah_hbm, bh_hbm, o_ref,
+    ah_win, bwin, ah_sem, bsem,
+    *, TM, Wc, TN, NJ, S, NSLOT,
 ):
     """1-pass bf16 operating point: half the panel bytes, one MXU pass."""
     import jax
@@ -641,31 +684,15 @@ def _ragged_kernel_bf16(
     lin = j * S + s
     total = NJ * S
 
-    def chunk_dma(l, slot):
-        jj = l // S
-        ss = l - jj * S
-        return pltpu.make_async_copy(
-            bh_hbm.at[
-                pl.ds(pl.multiple_of(starts_ref[ss], TK), Wc),
-                pl.ds(pl.multiple_of(jj * TN, TN), TN),
-            ],
-            window.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(lin == 0)
-    def _():
-        chunk_dma(0, 0).start()
-
-    @pl.when(lin + 1 < total)
-    def _():
-        chunk_dma(lin + 1, (lin + 1) % 2).start()
-
-    slot = lin % 2
-    chunk_dma(lin, slot).wait()
+    slot, wait = _chunk_pipeline(
+        pl, pltpu, starts_ref, (ah_hbm,), bh_hbm, (ah_win,), (ah_sem,),
+        bwin, bsem, TM=TM, Wc=Wc, TN=TN, S=S, NSLOT=NSLOT,
+        lin=lin, total=total,
+    )
+    wait()
 
     partial = jax.lax.dot_general(
-        ah_ref[0], window[slot], (((1,), (0,)), ((), ())),
+        ah_win[slot], bwin[slot], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -680,28 +707,39 @@ def _ragged_kernel_bf16(
         o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
 
 
-def _ragged_call(kern, n_a, G, TM, Wc, TN, NJ, S, n, win_dtype, acc_dtype,
-                 interpret):
-    """Shared pallas_call builder for the ragged kernel family."""
+def _ragged_call(kern, a_dtypes, G, TM, Wc, TN, NJ, S, n, win_dtype,
+                 acc_dtype, interpret, NSLOT):
+    """Shared pallas_call builder for the ragged kernel family.
+
+    A-panel inputs arrive FLAT — (S*TM, Wc) — in ANY memory space and are
+    streamed manually alongside the B windows by ``_chunk_pipeline``
+    (NSLOT-deep rolling prefetch; see :func:`ragged_slots` for why the
+    automatic 2-deep pipeline is not enough here)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    a_spec = pl.BlockSpec((1, TM, Wc), lambda j, s, *_: (s, 0, 0))
+    n_a = len(a_dtypes)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # step_g, step_first, starts
         grid=(NJ, S),
-        in_specs=[a_spec] * n_a + [pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[any_spec] * (n_a + 1),
         out_specs=pl.BlockSpec(
             (TM, TN), lambda j, s, g_ref, *_: (g_ref[s], j)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, Wc, TN), win_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((NSLOT, TM, Wc), dt) for dt in a_dtypes]
+            + [pltpu.VMEM((NSLOT, Wc, TN), win_dtype)]
+            + [pltpu.SemaphoreType.DMA((NSLOT,))] * n_a
+            + [pltpu.SemaphoreType.DMA((NSLOT,))]
+        ),
     )
-    win_bytes = 2 * Wc * TN * np.dtype(win_dtype).itemsize
-    need = win_bytes + (n_a + 1) * 2 * TM * Wc * 4 + TM * TN * 4
+    win_bytes = NSLOT * Wc * TN * np.dtype(win_dtype).itemsize
+    a_bytes = sum(
+        NSLOT * TM * Wc * np.dtype(dt).itemsize for dt in a_dtypes
+    )
+    need = win_bytes + a_bytes + TM * TN * 4
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -747,17 +785,21 @@ def spmm_ragged(
     acc_dtype = (
         jnp.float64 if np.dtype(compute_dtype) == np.float64 else jnp.float32
     )
+    NSLOT = ragged_slots(S * (n // TN))
     kern = functools.partial(
         _ragged_kernel,
-        Wc=Wc, TN=TN, NJ=n // TN, S=S, precision=precision,
+        TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
+        precision=precision,
         compute_dtype=compute_dtype, acc_dtype=acc_dtype,
     )
+    panels = jnp.asarray(panels).reshape(S * TM, Wc)
     fn = _ragged_call(
-        kern, 1, G, TM, Wc, TN, n // TN, S, n, b.dtype, acc_dtype, interpret
+        kern, (panels.dtype,), G, TM, Wc, TN, n // TN, S, n, b.dtype,
+        acc_dtype, interpret, NSLOT,
     )
     out = fn(
         jnp.asarray(step_g), jnp.asarray(step_first), jnp.asarray(starts),
-        jnp.asarray(panels), b,
+        panels, b,
     )
     return out[:, :n_orig] if n != n_orig else out
 
@@ -773,11 +815,16 @@ def spmm_ragged_presplit(
     b, TN, n_orig = _pad_n(b, TN)
     n = b.shape[1]
     S = ah.shape[0]
+    NSLOT = ragged_slots(S * (n // TN))
     kern = functools.partial(
-        _ragged_kernel_presplit, Wc=Wc, TN=TN, NJ=n // TN, S=S,
+        _ragged_kernel_presplit,
+        TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
     )
+    ah = jnp.asarray(ah).reshape(S * TM, Wc)
+    al = jnp.asarray(al).reshape(S * TM, Wc)
     fn = _ragged_call(
-        kern, 2, G, TM, Wc, TN, n // TN, S, n, b.dtype, jnp.float32, interpret
+        kern, (ah.dtype, al.dtype), G, TM, Wc, TN, n // TN, S, n, b.dtype,
+        jnp.float32, interpret, NSLOT,
     )
     out = fn(
         jnp.asarray(step_g), jnp.asarray(step_first), jnp.asarray(starts),
@@ -797,12 +844,15 @@ def spmm_ragged_bf16(
     bh, TN, n_orig = _pad_n(bh, TN)
     n = bh.shape[1]
     S = ah.shape[0]
+    NSLOT = ragged_slots(S * (n // TN))
     kern = functools.partial(
-        _ragged_kernel_bf16, Wc=Wc, TN=TN, NJ=n // TN, S=S,
+        _ragged_kernel_bf16,
+        TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
     )
+    ah = jnp.asarray(ah).reshape(S * TM, Wc)
     fn = _ragged_call(
-        kern, 1, G, TM, Wc, TN, n // TN, S, n, bh.dtype, jnp.float32,
-        interpret,
+        kern, (ah.dtype,), G, TM, Wc, TN, n // TN, S, n, bh.dtype,
+        jnp.float32, interpret, NSLOT,
     )
     out = fn(
         jnp.asarray(step_g), jnp.asarray(step_first), jnp.asarray(starts),
