@@ -21,6 +21,25 @@ check_deadline() {
 }
 set -x
 
+# 0. chunk-pipeline depth A/B on the sorted cplaw: the round-5 deep
+#    prefetch (default NSLOT=8) vs the old 2-slot double buffer — decides
+#    whether DMA-latency serialization was the ~0.081 s bound the
+#    geometry/spill A/Bs could not move (spmm_ragged.ragged_slots)
+check_deadline
+CRP_TPU_MXU_PREC=x3 CRP_TPU_RAGGED_SLOTS=2 timeout 3000 \
+  python -m crp_tpu.cli.suite_cli kernels \
+  synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=10 \
+  --out=bench_results/r5_tpu_slots.jsonl
+check_deadline
+CRP_TPU_MXU_PREC=x3 timeout 3000 \
+  python -m crp_tpu.cli.suite_cli kernels \
+  synth:cplaw:786432:16:1024 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=10 \
+  --out=bench_results/r5_tpu_slots.jsonl
+# 0b. the pwtk-class headline regression with the new kernel path is
+#     covered by the driver's bench.py (uniform kernel family untouched)
+
 # 1. cluster reorder on the scrambled cplaw (ragged x3 after recovery)
 check_deadline 2400
 CRP_TPU_MXU_PREC=x3 timeout 3600 python -m crp_tpu.cli.suite_cli kernels \
