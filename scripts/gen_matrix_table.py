@@ -12,6 +12,8 @@ import json
 import sys
 
 DEFAULT_FILES = [
+    "bench_results/r5_tpu_slots.jsonl",
+    "bench_results/r5_tpu_cplaw_dd.jsonl",
     "bench_results/r4_tpu_geometry.jsonl",
     "bench_results/r4_tpu_spill_impl.jsonl",
     "bench_results/r4_tpu_reorder.jsonl",
@@ -64,6 +66,8 @@ def fmt(rec):
         )
     if knobs.get("CRP_TPU_RAGGED_AUTO") == "0":
         tags.append("fixed-geom")
+    if knobs.get("CRP_TPU_RAGGED_SLOTS"):
+        tags.append(f"slots={knobs['CRP_TPU_RAGGED_SLOTS']}")
     if rec.get("reorder"):
         tags.append(f"reorder={rec['reorder']['method']}")
     if rec.get("spec", "").endswith(":perm") and not rec.get("reorder"):
