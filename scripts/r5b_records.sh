@@ -21,6 +21,13 @@ check_deadline() {
 }
 set -x
 
+# -1. bigmat x3 retry: the r5 queue's run raced a mid-edit working tree
+#     (error row in r3_tpu_bigmat.jsonl); re-run with the fixed kernel
+check_deadline 2400
+CRP_TPU_MXU_PREC=x3 timeout 3000 python -m crp_tpu.cli.suite_cli kernels \
+  synth:banded:2600000:39:150 256 1 --engine=rowpara --list=ragged \
+  --dtype=float32 --ntest=3 --inner=5 --out=bench_results/r3_tpu_bigmat.jsonl
+
 # 0. chunk-pipeline depth A/B on the sorted cplaw: the round-5 deep
 #    prefetch (default NSLOT=8) vs the old 2-slot double buffer — decides
 #    whether DMA-latency serialization was the ~0.081 s bound the
