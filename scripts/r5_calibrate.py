@@ -15,7 +15,8 @@ before importing jax-adjacent modules (see scripts/pack_microbench.py
 for why env-in-body is too late).
 
 Usage:  python scripts/r5_calibrate.py
-Inputs: bench_results/r4_tpu_geometry.jsonl (preferred: both modes),
+Inputs: bench_results/r5_tpu_slots.jsonl (newest: deep-pipeline default),
+        bench_results/r4_tpu_geometry.jsonl (both geometry modes),
         bench_results/r3_tpu_matrix.jsonl (fallback: adaptive rows)
 Output: bench_results/r5_project_cplaw.jsonl (fixed geometry),
         bench_results/r5_project_cplaw_adaptive.jsonl (adaptive)
@@ -64,7 +65,8 @@ def _is_fixed(knobs):
 def find_measured():
     """Newest measured p=1 ragged cplaw row per geometry mode."""
     out = {}
-    for fname in ("r3_tpu_matrix.jsonl", "r4_tpu_geometry.jsonl"):
+    for fname in ("r3_tpu_matrix.jsonl", "r4_tpu_geometry.jsonl",
+                  "r5_tpu_slots.jsonl"):
         for r in _rows(os.path.join(BR, fname)):
             if (
                 r.get("spec") != SPEC
