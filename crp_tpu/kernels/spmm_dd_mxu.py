@@ -104,7 +104,15 @@ def pack_ragged_dd(
         rowptr, colidx, val, ncol, TM=TM, Wc=Wc, min_chunk_nnz=1,
         max_panel_bytes=max(max_panel_bytes // 2, 1), dtype=np.float64,
     )
-    assert rw.spill_nnz == 0, rw.spill_nnz
+    if rw.spill_nnz:
+        # the panel-byte cap escalated min_chunk_nnz past 1 (power-law
+        # shards: the min_chunk_nnz=1 total cover can exceed HBM), which
+        # breaks the "every nonzero on the MXU" accuracy invariant —
+        # fall back to the VPU dd kernels via dispatch's chain
+        raise UnsupportedSparsity(
+            f"dd_mxu total cover infeasible under panel cap "
+            f"({rw.spill_nnz} nnz would spill)"
+        )
     if rw.S * TM * Wc * (2 * QA + 4) > max_panel_bytes:
         raise UnsupportedSparsity(
             f"dd slice planes {(rw.S * TM * Wc * 2 * QA) >> 20} MiB > cap"

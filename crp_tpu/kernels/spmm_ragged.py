@@ -566,10 +566,74 @@ def _chunk_pipeline(pl, pltpu, starts_ref, a_hbms, b_hbm, awins, asems,
     return slot, wait
 
 
+def _acc_and_emit(pl, pltpu, jnp, first_ref, o_hbm, acc, osem,
+                  *, TM, TN, G, S, NJ, lin, j, s, g, partial):
+    """Accumulate chunk partials in a VMEM scratch; DMA each group's
+    (TM, TN) block to the ANY-space output exactly once.
+
+    The round-5 slots A/B (``bench_results/r5_tpu_slots.jsonl``) showed
+    deeper INPUT pipelining moves the cplaw exec by only 1.5% — because
+    the dominant traffic was never the inputs: with ``out_specs`` indexed
+    by the data-dependent ``g_ref[s]``, the pipeline streams the (TM, TN)
+    fp32 output block through VMEM on EVERY chunk step (read + write,
+    ~1 MB x S steps ~ 12 GB on the cplaw pack vs 3.2 GB of panels).
+    Chunks of one group are consecutive, so the correct shape is: keep
+    the group's accumulator resident in VMEM and write it back once per
+    group (G x TM*TN*4 bytes total), double-buffered across groups so the
+    store of group ``lg-1`` overlaps the accumulation of ``lg``.
+    """
+    lg = j * G + g  # linear group counter (every group has >= 1 chunk)
+    slot = lg % 2
+    total = NJ * S
+
+    def out_dma(lg_, slot_):
+        jj = lg_ // G
+        gg = lg_ - jj * G
+        return pltpu.make_async_copy(
+            acc.at[slot_],
+            o_hbm.at[
+                pl.ds(pl.multiple_of(gg * TM, TM), TM),
+                pl.ds(pl.multiple_of(jj * TN, TN), TN),
+            ],
+            osem.at[slot_],
+        )
+
+    first = first_ref[s] == 1
+    # before overwriting this slot for group lg, drain its previous use
+    # (group lg - 2 issued a store from it at its last chunk)
+    @pl.when(first & (lg >= 2))
+    def _():
+        out_dma(lg - 2, slot).wait()
+
+    @pl.when(first)
+    def _():
+        acc[slot] = partial
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc[slot] = acc[slot] + partial
+
+    s_next = jnp.minimum(s + 1, S - 1)
+    last = jnp.where(s + 1 < S, first_ref[s_next] == 1, True)
+
+    @pl.when(last)
+    def _():
+        out_dma(lg, slot).start()
+
+    # grid end: drain the (at most two) in-flight group stores
+    @pl.when(lin == total - 1)
+    def _():
+        out_dma(lg, slot).wait()
+
+    @pl.when((lin == total - 1) & (lg >= 1))
+    def _():
+        out_dma(lg - 1, 1 - slot).wait()
+
+
 def _ragged_kernel(
-    g_ref, first_ref, starts_ref, a_hbm, b_hbm, o_ref,
-    awin, bwin, asem, bsem,
-    *, TM, Wc, TN, NJ, S, NSLOT, precision, compute_dtype, acc_dtype,
+    g_ref, first_ref, starts_ref, a_hbm, b_hbm, o_hbm,
+    awin, bwin, acc, asem, bsem, osem,
+    *, G, TM, Wc, TN, NJ, S, NSLOT, precision, compute_dtype, acc_dtype,
 ):
     import jax
     import jax.numpy as jnp
@@ -610,21 +674,17 @@ def _ragged_kernel(
             precision=precision,
         )
 
-    first = first_ref[s] == 1
-
-    @pl.when(first)
-    def _():
-        o_ref[:] = partial.astype(o_ref.dtype)
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+    _acc_and_emit(
+        pl, pltpu, jnp, first_ref, o_hbm, acc, osem,
+        TM=TM, TN=TN, G=G, S=S, NJ=NJ, lin=lin, j=j, s=s, g=g_ref[s],
+        partial=partial.astype(acc_dtype),
+    )
 
 
 def _ragged_kernel_presplit(
-    g_ref, first_ref, starts_ref, ah_hbm, al_hbm, b_hbm, o_ref,
-    ah_win, al_win, bwin, ah_sem, al_sem, bsem,
-    *, TM, Wc, TN, NJ, S, NSLOT,
+    g_ref, first_ref, starts_ref, ah_hbm, al_hbm, b_hbm, o_hbm,
+    ah_win, al_win, bwin, acc, ah_sem, al_sem, bsem, osem,
+    *, G, TM, Wc, TN, NJ, S, NSLOT,
 ):
     """x3 variant: A chunks pre-split to bf16 hi/lo at pack time, B split
     in-kernel (the in-kernel B split is fully hidden behind the DMA —
@@ -657,21 +717,17 @@ def _ragged_kernel_presplit(
         dot(ah_win[slot], bl) + dot(al_win[slot], bh)
     )
 
-    first = first_ref[s] == 1
-
-    @pl.when(first)
-    def _():
-        o_ref[:] = partial.astype(o_ref.dtype)
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+    _acc_and_emit(
+        pl, pltpu, jnp, first_ref, o_hbm, acc, osem,
+        TM=TM, TN=TN, G=G, S=S, NJ=NJ, lin=lin, j=j, s=s, g=g_ref[s],
+        partial=partial,
+    )
 
 
 def _ragged_kernel_bf16(
-    g_ref, first_ref, starts_ref, ah_hbm, bh_hbm, o_ref,
-    ah_win, bwin, ah_sem, bsem,
-    *, TM, Wc, TN, NJ, S, NSLOT,
+    g_ref, first_ref, starts_ref, ah_hbm, bh_hbm, o_hbm,
+    ah_win, bwin, acc, ah_sem, bsem, osem,
+    *, G, TM, Wc, TN, NJ, S, NSLOT,
 ):
     """1-pass bf16 operating point: half the panel bytes, one MXU pass."""
     import jax
@@ -696,15 +752,11 @@ def _ragged_kernel_bf16(
         preferred_element_type=jnp.float32,
     )
 
-    first = first_ref[s] == 1
-
-    @pl.when(first)
-    def _():
-        o_ref[:] = partial.astype(o_ref.dtype)
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        o_ref[:] = o_ref[:] + partial.astype(o_ref.dtype)
+    _acc_and_emit(
+        pl, pltpu, jnp, first_ref, o_hbm, acc, osem,
+        TM=TM, TN=TN, G=G, S=S, NJ=NJ, lin=lin, j=j, s=s, g=g_ref[s],
+        partial=partial,
+    )
 
 
 def _ragged_call(kern, a_dtypes, G, TM, Wc, TN, NJ, S, n, win_dtype,
@@ -725,21 +777,21 @@ def _ragged_call(kern, a_dtypes, G, TM, Wc, TN, NJ, S, n, win_dtype,
         num_scalar_prefetch=3,  # step_g, step_first, starts
         grid=(NJ, S),
         in_specs=[any_spec] * (n_a + 1),
-        out_specs=pl.BlockSpec(
-            (TM, TN), lambda j, s, g_ref, *_: (g_ref[s], j)
-        ),
+        out_specs=any_spec,  # written by _acc_and_emit's per-group DMAs
         scratch_shapes=(
             [pltpu.VMEM((NSLOT, TM, Wc), dt) for dt in a_dtypes]
             + [pltpu.VMEM((NSLOT, Wc, TN), win_dtype)]
+            + [pltpu.VMEM((2, TM, TN), acc_dtype)]
             + [pltpu.SemaphoreType.DMA((NSLOT,))] * n_a
             + [pltpu.SemaphoreType.DMA((NSLOT,))]
+            + [pltpu.SemaphoreType.DMA((2,))]
         ),
     )
     win_bytes = NSLOT * Wc * TN * np.dtype(win_dtype).itemsize
     a_bytes = sum(
         NSLOT * TM * Wc * np.dtype(dt).itemsize for dt in a_dtypes
     )
-    need = win_bytes + a_bytes + TM * TN * 4
+    need = win_bytes + a_bytes + 2 * TM * TN * np.dtype(acc_dtype).itemsize
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -788,7 +840,7 @@ def spmm_ragged(
     NSLOT = ragged_slots(S * (n // TN))
     kern = functools.partial(
         _ragged_kernel,
-        TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
+        G=G, TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
         precision=precision,
         compute_dtype=compute_dtype, acc_dtype=acc_dtype,
     )
@@ -818,7 +870,7 @@ def spmm_ragged_presplit(
     NSLOT = ragged_slots(S * (n // TN))
     kern = functools.partial(
         _ragged_kernel_presplit,
-        TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
+        G=G, TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
     )
     ah = jnp.asarray(ah).reshape(S * TM, Wc)
     al = jnp.asarray(al).reshape(S * TM, Wc)
@@ -847,7 +899,7 @@ def spmm_ragged_bf16(
     NSLOT = ragged_slots(S * (n // TN))
     kern = functools.partial(
         _ragged_kernel_bf16,
-        TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
+        G=G, TM=TM, Wc=Wc, TN=TN, NJ=n // TN, S=S, NSLOT=NSLOT,
     )
     ah = jnp.asarray(ah).reshape(S * TM, Wc)
     fn = _ragged_call(
