@@ -237,6 +237,7 @@ class RowParaSpmm:
                         "CRP_TPU_RAGGED_TM", "CRP_TPU_RAGGED_WC",
                         "CRP_TPU_RAGGED_MIN_NNZ", "CRP_TPU_RAGGED_MIN_PCT",
                         "CRP_TPU_RAGGED_AUTO", "CRP_TPU_SPILL_IMPL",
+                        "CRP_TPU_SPILL_TMO", "CRP_TPU_SPILL_Q",
                         "CRP_TPU_DD_NO_MXU", "CRP_TPU_SG_BUDGET",
                         "CRP_PROJ_HBM_GBPS", "CRP_PROJ_SPILL_NS",
                         "CRP_PROJ_MXU_TFLOPS",

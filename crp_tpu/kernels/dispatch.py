@@ -970,7 +970,17 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest",
         if sp_impl == "pallas":
             from .spmm_ragged import pack_spill_blocks, spmm_spill_pallas
 
-            TMo = Qs = 128
+            # step geometry: Q nnz per one-hot step, TMo output rows per
+            # resident block.  Bigger Q cuts the grid-step count (16k tiny
+            # steps at Q=128 on the r5 cplaw point) at the price of more
+            # pad-slot gather in blocks with few spills; bigger TMo cuts
+            # the dummy-step minimum (one step per output block carries the
+            # main kernel's C through).
+            TMo = int(os.environ.get("CRP_TPU_SPILL_TMO", 128))
+            Qs = int(os.environ.get("CRP_TPU_SPILL_Q", 128))
+            assert TMo % 128 == 0 and Qs % 128 == 0, (TMo, Qs)
+            while (G * TM) % TMo:  # M = G*TM is only 128-aligned
+                TMo //= 2
 
             def _sorted_spill(p_):
                 # (block, column) order: the one-hot routes rows, so

@@ -1050,19 +1050,26 @@ def _spill_block_kernel(
     P @ contrib where P[t, q] = (rel[q] == t).  Same-block steps are
     consecutive (host pack), so the block accumulates in VMEM and is
     written once; the first step of each block folds in the main kernel's
-    C, making the output the complete result."""
+    C, making the output the complete result.
+
+    The val * B[col] multiply is FUSED here (vals ride as a (1, Q) block,
+    the gathered B rows as a (1, Q, TN) block): materializing the
+    premultiplied contrib stream in XLA cost an extra write + read of the
+    whole (ns*Q, n) array — at the r5 cplaw point that stream is 3+ GB
+    while the spill path was measured at 47 of the 58 ms exec
+    (``scripts/cplaw_decomp.py``, take 24 ms + segment-sum 30 ms)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     if has_c:
-        c_ref, contrib_ref, o_ref = rest
+        vals_ref, c_ref, g_ref, o_ref = rest
     else:
-        (contrib_ref, o_ref), c_ref = rest, None
+        (vals_ref, g_ref, o_ref), c_ref = rest, None
     s = pl.program_id(1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (TMo, Q), 0)
     P = (rel_ref[0] == iota).astype(jnp.float32)  # (1, Q) broadcast
-    cb = contrib_ref[0]                           # (Q, TN) fp32
+    cb = vals_ref[0, 0][:, None] * g_ref[0]       # (Q, TN) fp32, on the VPU
     dims = (((1,), (0,)), ((), ()))
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=dims,
@@ -1105,9 +1112,9 @@ def spmm_spill_pallas(
     pure gather-reduce, e.g. the "gather" kernel kind — then ``M`` must be
     given); the gather (``take``) stays in XLA — TPU DMA wants block
     transfers, so per-nnz B-row fetches are hoisted into one bulk gather
-    whose (ns*Q, n) contrib stream the kernel then reduces without any
-    scatter (the r3-measured 21 ns/nnz XLA scatter is the dominant
-    power-law cost)."""
+    whose (ns*Q, n) row stream the kernel multiplies by ``vals`` in VMEM
+    and reduces without any scatter (the r3-measured 21 ns/nnz XLA
+    scatter is the dominant power-law cost)."""
     import jax
     import jax.numpy as jnp
 
@@ -1120,11 +1127,8 @@ def spmm_spill_pallas(
         if n != c.shape[1]:
             c = jnp.pad(c, ((0, 0), (0, n - c.shape[1])))
     ns = rel.shape[0]
-    g = jnp.take(b, cols.reshape(-1), axis=0, mode="clip")
-    contrib = (
-        vals.reshape(-1)[:, None].astype(jnp.float32)
-        * g.astype(jnp.float32)
-    ).reshape(ns, Q, n)
+    g = jnp.take(b, cols.reshape(-1), axis=0, mode="clip").reshape(ns, Q, n)
+    vals_j = jnp.asarray(vals, dtype=jnp.float32).reshape(ns, 1, Q)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1148,17 +1152,22 @@ def spmm_spill_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # first, blk
         grid=(n // TN, ns),
-        in_specs=[pl.BlockSpec((1, 1, Q), lambda j, s, *_: (s, 0, 0))]
+        in_specs=[
+            pl.BlockSpec((1, 1, Q), lambda j, s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, 1, Q), lambda j, s, *_: (s, 0, 0)),
+        ]
         + c_spec
         + [pl.BlockSpec((1, Q, TN), lambda j, s, *_: (s, 0, j))],
         out_specs=pl.BlockSpec(
             (TMo, TN), lambda j, s, f_ref, blk_ref: (blk_ref[s], j)
         ),
     )
-    operands = [jnp.asarray(first), jnp.asarray(blk), jnp.asarray(rel)]
+    operands = [
+        jnp.asarray(first), jnp.asarray(blk), jnp.asarray(rel), vals_j,
+    ]
     if has_c:
         operands.append(c.astype(jnp.float32))
-    operands.append(contrib)
+    operands.append(g)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -316,6 +316,28 @@ def test_spill_impl_variants(impl, dtype, tol, monkeypatch, devices8):
     assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= tol
 
 
+def test_spill_pallas_geometry_knobs(monkeypatch, devices8):
+    """CRP_TPU_SPILL_TMO/Q reshape the fused spill's step geometry (bigger
+    blocks -> fewer grid steps) without changing the result."""
+    monkeypatch.setenv("CRP_TPU_SPILL_IMPL", "pallas")
+    monkeypatch.setenv("CRP_TPU_SPILL_TMO", "256")
+    monkeypatch.setenv("CRP_TPU_SPILL_Q", "256")
+    monkeypatch.setenv("CRP_TPU_RAGGED_TM", "128")
+    monkeypatch.setenv("CRP_TPU_RAGGED_WC", "256")
+    monkeypatch.setenv("CRP_TPU_RAGGED_MIN_NNZ", "40")
+    a = powerlaw_random_csr(2500, avg_degree=13, seed=4)
+    displs = csr_row_partition(a.rowptr, 3)
+    eng = RowParaSpmm(
+        a, displs, displs, 24,
+        mesh=make_mesh_1d(3, devices=devices8[:3]),
+        config=SpmmConfig(kernel="ragged"), dtype=np.float32,
+    )
+    assert eng._local_fn.roofline["spill_nnz"] > 0
+    b = np.random.default_rng(3).standard_normal((a.ncol, 24))
+    b = b.astype(np.float32)
+    assert rel_fro_err(a.spmm_ref(b), eng.exec(b)) <= 1e-5
+
+
 @pytest.mark.parametrize("prec", ["highest", "x3", "default"])
 def test_spill_pallas_direct(prec):
     """Fused spill kernel vs the dense reference at every operating
