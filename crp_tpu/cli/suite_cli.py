@@ -199,7 +199,8 @@ def run_one(a, n, p, engine_kind, config, dtype, ntest, check, inner=10):
                 a.nnz * (4 + np.dtype(dtype).itemsize) + (a.nrow + 1) * 8
             ),
             **{k: rl[k]
-               for k in ("mxu_frac", "S", "spill_nnz", "TM", "W")
+               for k in ("mxu_frac", "S", "spill_nnz", "spill_impl",
+                         "TM", "W")
                if k in rl},
         )
 

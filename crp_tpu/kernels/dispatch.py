@@ -119,8 +119,10 @@ def pack_with_fallback(
     is tried in order; a ``dd_mxu`` failure sets ``dd_skip_mxu`` so the dd
     retry does not repeat the identical multi-second MXU cover just to fail
     again.  Raises the last ``UnsupportedSparsity`` only if every chain
-    entry refuses (not reachable with the default chains — segsum and the
-    VPU dd pack accept any CSR).
+    entry refuses — segsum accepts any CSR, so this is reachable only on
+    the dd chain, where shards past ``CRP_TPU_DD_SEGSUM_MAX_NNZ`` refuse
+    rather than OOM the compiler (the fp64-class contract admits no fp32
+    fallback).
     """
     from .spmm_pallas import UnsupportedSparsity
 
@@ -260,6 +262,21 @@ def pack_local_kernel(
             return arrays, local_fn
 
         nnz_pad = max(max(int(r[-1] - r[0]) for r, _, _ in shards), 0) + 1
+        # the segmented-scan kernel's log2(nnz) unrolled full-width levels
+        # blow XLA compile-side memory at millions of nonzeros (the same
+        # super-linear EFT-chain behavior the module docstring pins) — the
+        # r5b cplaw attempt (10.8M nnz) died on chip.  Refuse cleanly with
+        # the shard size in the message instead of OOMing the compiler;
+        # CRP_TPU_DD_SEGSUM_MAX_NNZ raises the cap for bigger-HBM parts.
+        cap = int(os.environ.get("CRP_TPU_DD_SEGSUM_MAX_NNZ", 4 << 20))
+        if nnz_pad > cap:
+            raise UnsupportedSparsity(
+                f"dd segmented scan infeasible at {nnz_pad - 1} nnz per "
+                f"shard (> CRP_TPU_DD_SEGSUM_MAX_NNZ={cap}): the unrolled "
+                f"scan's full-width levels exceed compile/HBM budgets; "
+                f"shard the matrix further or drop to the x3 operating "
+                f"point (~1e-5 rel err)"
+            )
         packs = [
             pack_coo_dd(rowptr, cc, np.asarray(v, np.float64), nnz_pad, max_m)
             for rowptr, cc, v in shards
@@ -963,6 +980,19 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest",
     Z = max((p_.spill_nnz for p_ in packs if p_ is not None), default=0)
     has_spill = Z > 0
     sp_impl = spill_impl() if has_spill else "segsum"
+    if sp_impl == "auto":
+        # fused kernel pays one dummy pass over every output block (the C
+        # pass-through) — worth it only when the spill is dense enough to
+        # amortize it (cplaw 2.6 nnz/row: wins; near-zero banded spill:
+        # loses).  Interpreted pallas is orders slower — TPU only.
+        import jax
+
+        dense_spill = Z >= max_m
+        sp_impl = (
+            "pallas"
+            if dense_spill and jax.default_backend() == "tpu"
+            else "segsum"
+        )
     if sp_impl == "pallas" and pack_dtype != np.float32:
         sp_impl = "segsum"  # fused spill kernel is fp32-only (dd keeps VPU)
     n_sp = 0
@@ -976,8 +1006,12 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest",
             # pad-slot gather in blocks with few spills; bigger TMo cuts
             # the dummy-step minimum (one step per output block carries the
             # main kernel's C through).
-            TMo = int(os.environ.get("CRP_TPU_SPILL_TMO", 128))
-            Qs = int(os.environ.get("CRP_TPU_SPILL_Q", 128))
+            # (512, 512) measured best on the cplaw point: 62.6 ms vs
+            # 77.0 at (512, 256) and 80.5 at (128, 128) — the grid-step
+            # count, not pad-gather waste, dominates
+            # (r5_tpu_spill_fused.jsonl)
+            TMo = int(os.environ.get("CRP_TPU_SPILL_TMO", 512))
+            Qs = int(os.environ.get("CRP_TPU_SPILL_Q", 512))
             assert TMo % 128 == 0 and Qs % 128 == 0, (TMo, Qs)
             while (G * TM) % TMo:  # M = G*TM is only 128-aligned
                 TMo //= 2
@@ -1117,6 +1151,7 @@ def _pack_ragged(shards, max_m, dtype, mxu_precision="highest",
         # size and the roofline-relevant term
         spill_nnz=sum(p_.spill_nnz for p_ in packs if p_ is not None),
         spill_max=Z,
+        spill_impl=sp_impl,  # records must show what auto resolved to
         mxu_frac=mxu_nnz / total_nnz,
         passes={"x3": 3, "highest": 6, "default": 1}.get(mxu_precision, 1),
     )

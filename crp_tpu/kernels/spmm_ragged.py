@@ -922,12 +922,15 @@ def spill_impl() -> str:
     (host-deduped column gather: B rows are fetched once per UNIQUE
     spilled column — a monotone gather — then fanned out from the compact
     temp), or ``pallas`` (fused one-hot-MXU block reduce, no scatter;
-    fp32 only).  Set ``CRP_TPU_SPILL_IMPL``; the winner on chip is
-    measured by ``scripts/spill_microbench.py`` + ``r4_records.sh``."""
+    fp32 only).  The default ``auto`` picks ``pallas`` on the TPU backend
+    when the spill is dense (>= 1 nnz per output row: the kernel's
+    per-output-block dummy pass amortizes; measured winner on the cplaw
+    point, 77.0 vs 79.5 ms, ``bench_results/r5_tpu_spill_fused.jsonl``)
+    and ``segsum`` otherwise.  Set ``CRP_TPU_SPILL_IMPL`` to override."""
     import os
 
-    impl = os.environ.get("CRP_TPU_SPILL_IMPL", "segsum")
-    valid = ("segsum", "clip", "twopass", "pallas")
+    impl = os.environ.get("CRP_TPU_SPILL_IMPL", "auto")
+    valid = ("auto", "segsum", "clip", "twopass", "pallas")
     if impl not in valid:
         raise ValueError(
             f"CRP_TPU_SPILL_IMPL={impl!r} not in {valid}"

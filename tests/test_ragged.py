@@ -408,6 +408,8 @@ def test_gather_rejects_fp64(devices8):
 def test_spill_impl_validates(monkeypatch):
     from crp_tpu.kernels.spmm_ragged import spill_impl
 
+    monkeypatch.delenv("CRP_TPU_SPILL_IMPL", raising=False)
+    assert spill_impl() == "auto"  # resolved per-pack by spill density
     monkeypatch.setenv("CRP_TPU_SPILL_IMPL", "palas")  # typo must raise
     with pytest.raises(ValueError, match="CRP_TPU_SPILL_IMPL"):
         spill_impl()
