@@ -1176,7 +1176,12 @@ def _pack_gather(shards, max_m, dtype, mxu_precision):
     if np.dtype(dtype) != np.float32:
         raise UnsupportedSparsity("gather kernel is fp32-only")
     interpret = jax.default_backend() != "tpu"
-    TMo = Qs = 128
+    # same geometry law the fused-spill A/B measured: the grid-step count
+    # dominates (62.6 ms at (512,512) vs 80.5 at (128,128) on cplaw,
+    # r5_tpu_spill_fused.jsonl) — default big, same env knobs
+    TMo = int(os.environ.get("CRP_TPU_SPILL_TMO", 512))
+    Qs = int(os.environ.get("CRP_TPU_SPILL_Q", 512))
+    assert TMo % 128 == 0 and Qs % 128 == 0, (TMo, Qs)
     M = -(-max_m // TMo) * TMo
     nblk = M // TMo
     total_nnz = 0

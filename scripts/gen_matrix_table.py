@@ -12,6 +12,8 @@ import json
 import sys
 
 DEFAULT_FILES = [
+    "bench_results/r5_tpu_spill_fused.jsonl",
+    "bench_results/r5_tpu_groupout.jsonl",
     "bench_results/r5_tpu_slots.jsonl",
     "bench_results/r5_tpu_cplaw_dd.jsonl",
     "bench_results/r4_tpu_geometry.jsonl",
@@ -59,6 +61,11 @@ def fmt(rec):
     tags = []
     if knobs.get("CRP_TPU_SPILL_IMPL"):
         tags.append(f"spill={knobs['CRP_TPU_SPILL_IMPL']}")
+    if knobs.get("CRP_TPU_SPILL_TMO") or knobs.get("CRP_TPU_SPILL_Q"):
+        tags.append(
+            f"spillgeo={knobs.get('CRP_TPU_SPILL_TMO', '?')}x"
+            f"{knobs.get('CRP_TPU_SPILL_Q', '?')}"
+        )
     if knobs.get("CRP_TPU_RAGGED_TM") or knobs.get("CRP_TPU_RAGGED_WC"):
         tags.append(
             f"TMxWc={knobs.get('CRP_TPU_RAGGED_TM', '?')}x"

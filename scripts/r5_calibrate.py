@@ -66,7 +66,7 @@ def find_measured():
     """Newest measured p=1 ragged cplaw row per geometry mode."""
     out = {}
     for fname in ("r3_tpu_matrix.jsonl", "r4_tpu_geometry.jsonl",
-                  "r5_tpu_slots.jsonl"):
+                  "r5_tpu_slots.jsonl", "r5_tpu_spill_fused.jsonl"):
         for r in _rows(os.path.join(BR, fname)):
             if (
                 r.get("spec") != SPEC
